@@ -1,0 +1,99 @@
+"""1-D convolution primitives in torch-compatible NCL layout.
+
+Weights are stored torch-style (out_ch, in_ch, k) so checkpoint import is a
+straight copy; XLA repacks layouts for the MXU internally. Used by the 1-D VAE
+(ldm/models/autoencoder1d.py) and BigVGAN (vocoder/bigvgan/models.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+_DN = lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NCH", "OIH", "NCH"))
+
+
+def conv1d_init(key: Array, in_ch: int, out_ch: int, kernel_size: int,
+                groups: int = 1) -> dict:
+    """Kaiming-uniform init matching torch.nn.Conv1d defaults."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = (in_ch // groups) * kernel_size
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(wkey, (out_ch, in_ch // groups, kernel_size),
+                           jnp.float32, -bound, bound)
+    b = jax.random.uniform(bkey, (out_ch,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def conv1d(params: dict, x: Array, stride: int = 1, padding=0,
+           dilation: int = 1, groups: int = 1, compute_dtype=None) -> Array:
+    """x: (B, C, T). padding: int (symmetric) or (lo, hi) tuple."""
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[padding],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+    )
+    if "b" in params and params["b"] is not None:
+        y = y + params["b"].astype(y.dtype)[None, :, None]
+    return y
+
+
+def conv_transpose1d(params: dict, x: Array, stride: int, padding: int = 0,
+                     groups: int = 1, compute_dtype=None) -> Array:
+    """torch.nn.ConvTranspose1d semantics: out = (T-1)*stride - 2*pad + k.
+
+    Implemented as an input-dilated convolution with the flipped, transposed
+    kernel — the standard XLA lowering (lhs_dilation == fractional stride).
+    Weight layout is torch's ConvTranspose1d (in_ch, out_ch//groups, k).
+    """
+    w = params["w"]  # (in, out//groups, k)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    k = w.shape[-1]
+    if groups == 1:
+        w_conv = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
+    else:
+        in_ch = w.shape[0]
+        w_g = w.reshape(groups, in_ch // groups, w.shape[1], k)
+        w_g = jnp.flip(w_g, axis=-1).transpose(0, 2, 1, 3)  # (g, out//g, in//g, k)
+        w_conv = w_g.reshape(groups * w.shape[1], in_ch // groups, k)
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x, w_conv,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+    )
+    if "b" in params and params["b"] is not None:
+        y = y + params["b"].astype(y.dtype)[None, :, None]
+    return y
+
+
+def pad_1d(x: Array, pad_left: int, pad_right: int, mode: str = "constant") -> Array:
+    """Pad the trailing (time) axis of (B, C, T) or (B, T)."""
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
+    if mode == "constant":
+        return jnp.pad(x, cfg)
+    if mode == "reflect":
+        return jnp.pad(x, cfg, mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, cfg, mode="edge")
+    raise ValueError(f"unknown pad mode {mode!r}")

@@ -1,0 +1,46 @@
+"""SwiGLU feed-forward network (Lumina-Next / LLaMA style).
+
+Parity: FeedForward (flag_large_dit_moe.py:438-489) — hidden = 2/3 * 4d,
+rounded up to a multiple of `multiple_of` (256), gates with silu(w1 x) * w3 x.
+The reference's `@torch.compile`d silu-gate fusion is free under XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from maa3_tpu.ops.basic import dense, dense_init, silu
+
+Array = jax.Array
+
+
+def swiglu_hidden_dim(dim: int, hidden_dim: Optional[int] = None,
+                      multiple_of: int = 256,
+                      ffn_dim_multiplier: Optional[float] = None) -> int:
+    if hidden_dim is None:
+        hidden_dim = 4 * dim
+    hidden_dim = int(2 * hidden_dim / 3)
+    if ffn_dim_multiplier is not None:
+        hidden_dim = int(ffn_dim_multiplier * hidden_dim)
+    return multiple_of * ((hidden_dim + multiple_of - 1) // multiple_of)
+
+
+def feed_forward_init(key: Array, dim: int, hidden_dim: Optional[int] = None,
+                      multiple_of: int = 256,
+                      ffn_dim_multiplier: Optional[float] = None) -> dict:
+    h = swiglu_hidden_dim(dim, hidden_dim, multiple_of, ffn_dim_multiplier)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w1": dense_init(k1, dim, h, bias=False),
+        "w2": dense_init(k2, h, dim, bias=False),
+        "w3": dense_init(k3, dim, h, bias=False),
+    }
+
+
+def feed_forward_apply(params: dict, x: Array, compute_dtype=None) -> Array:
+    x1 = dense(params["w1"], x, compute_dtype)
+    x3 = dense(params["w3"], x, compute_dtype)
+    return dense(params["w2"], silu(x1) * x3, compute_dtype)

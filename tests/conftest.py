@@ -1,0 +1,18 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh — the TPU-world analogue of a fake
+# cluster (multi-chip sharding is validated here; the real chip runs bench).
+# NOTE: the axon sitecustomize force-registers the TPU backend and sets
+# jax.config jax_platforms programmatically, so the env var alone is not
+# enough — we must also jax.config.update after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
