@@ -1,0 +1,215 @@
+"""BigVGAN ("bigvnat") vocoder generator: (B, 80, T) log10-mel -> (B, T*256) wav.
+
+Capability parity with vocoder/bigvgan/models.py:32-215 (generator path):
+conv_pre(7) -> per-stage [ConvTranspose1d upsample; parallel AMPBlock1s
+averaged] -> anti-aliased Snake/SnakeBeta -> conv_post(7) -> tanh.
+
+TPU-native notes:
+- weight_norm is folded into plain weights at import time (inference removes
+  it anyway, models.py:551); training re-parameterizes explicitly if needed.
+- The anti-aliased activations (2x sinc up / nonlinearity / 2x sinc down) are
+  depthwise convs that XLA fuses; filters are compile-time constants.
+- snake runs in fp32 (sin^2 of large activations is precision-sensitive);
+  convs run in the requested compute dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from maa3_tpu.ops.conv import conv1d, conv1d_init, conv_transpose1d
+from maa3_tpu.ops.resample import Activation1d
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BigVGANConfig:
+    num_mels: int = 80
+    upsample_rates: Tuple[int, ...] = (4, 4, 2, 2, 2, 2)       # prod = 256 = hop
+    upsample_kernel_sizes: Tuple[int, ...] = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    sampling_rate: int = 16000
+
+    @classmethod
+    def from_dict(cls, h: dict) -> "BigVGANConfig":
+        def tup(x):
+            return tuple(tuple(v) if isinstance(v, (list, tuple)) else v for v in x)
+        return cls(
+            num_mels=h.get("num_mels", 80),
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            upsample_initial_channel=h["upsample_initial_channel"],
+            resblock=str(h.get("resblock", "1")),
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tup(h["resblock_dilation_sizes"]),
+            activation=h.get("activation", "snakebeta"),
+            snake_logscale=bool(h.get("snake_logscale", True)),
+            sampling_rate=h.get("sampling_rate", 16000),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Snake activations (vocoder/bigvgan/activations.py:9-119)
+# ---------------------------------------------------------------------------
+
+def snake(x: Array, alpha: Array, logscale: bool) -> Array:
+    """snake(x) = x + sin^2(a x)/a, per-channel alpha over (B, C, T). fp32."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    a = alpha.astype(jnp.float32)[None, :, None]
+    if logscale:
+        a = jnp.exp(a)
+    return (xf + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(xf * a))).astype(orig)
+
+
+def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool) -> Array:
+    """snakebeta(x) = x + sin^2(a x)/b."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    a = alpha.astype(jnp.float32)[None, :, None]
+    b = beta.astype(jnp.float32)[None, :, None]
+    if logscale:
+        a = jnp.exp(a)
+        b = jnp.exp(b)
+    return (xf + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(xf * a))).astype(orig)
+
+
+def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
+    if cfg.activation == "snake":
+        init = jnp.zeros if cfg.snake_logscale else jnp.ones
+        return {"alpha": init((ch,), jnp.float32)}
+    init = jnp.zeros if cfg.snake_logscale else jnp.ones
+    return {"alpha": init((ch,), jnp.float32), "beta": init((ch,), jnp.float32)}
+
+
+def _make_aa(cfg: BigVGANConfig):
+    """Anti-aliased activation closure over params."""
+    if cfg.activation == "snake":
+        def act(p):
+            return Activation1d(lambda x: snake(x, p["alpha"], cfg.snake_logscale))
+    else:
+        def act(p):
+            return Activation1d(
+                lambda x: snake_beta(x, p["alpha"], p["beta"], cfg.snake_logscale))
+    return act
+
+
+# ---------------------------------------------------------------------------
+# AMP blocks (models.py:32-128)
+# ---------------------------------------------------------------------------
+
+def _get_padding(k: int, d: int) -> int:
+    return (k * d - d) // 2
+
+
+def _amp1_init(key: Array, ch: int, k: int, dilations: Sequence[int],
+               cfg: BigVGANConfig) -> dict:
+    ks = jax.random.split(key, 6)
+    return {
+        "convs1": [conv1d_init(ks[i], ch, ch, k) for i in range(3)],
+        "convs2": [conv1d_init(ks[3 + i], ch, ch, k) for i in range(3)],
+        "acts": [_act_init(ch, cfg) for _ in range(6)],
+    }
+
+
+def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
+                cfg: BigVGANConfig, compute_dtype) -> Array:
+    aa = _make_aa(cfg)
+    # activations alternate [::2] / [1::2] (models.py:75)
+    for i, d in enumerate(dilations):
+        xt = aa(p["acts"][2 * i])(x)
+        xt = conv1d(p["convs1"][i], xt, padding=_get_padding(k, d), dilation=d,
+                    compute_dtype=compute_dtype)
+        xt = aa(p["acts"][2 * i + 1])(xt)
+        xt = conv1d(p["convs2"][i], xt, padding=_get_padding(k, 1),
+                    compute_dtype=compute_dtype)
+        x = xt + x
+    return x
+
+
+def _amp2_init(key: Array, ch: int, k: int, dilations: Sequence[int],
+               cfg: BigVGANConfig) -> dict:
+    ks = jax.random.split(key, len(dilations))
+    return {
+        "convs": [conv1d_init(ks[i], ch, ch, k) for i in range(len(dilations))],
+        "acts": [_act_init(ch, cfg) for _ in range(len(dilations))],
+    }
+
+
+def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
+                cfg: BigVGANConfig, compute_dtype) -> Array:
+    aa = _make_aa(cfg)
+    for i, d in enumerate(dilations):
+        xt = aa(p["acts"][i])(x)
+        xt = conv1d(p["convs"][i], xt, padding=_get_padding(k, d), dilation=d,
+                    compute_dtype=compute_dtype)
+        x = xt + x
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def bigvgan_init(key: Array, cfg: BigVGANConfig) -> dict:
+    ks = iter(jax.random.split(key, 512))
+    p: dict = {"conv_pre": conv1d_init(next(ks), cfg.num_mels,
+                                       cfg.upsample_initial_channel, 7)}
+    amp_init = _amp1_init if cfg.resblock == "1" else _amp2_init
+    ups, resblocks = [], []
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin = cfg.upsample_initial_channel // (2 ** i)
+        cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+        # ConvTranspose1d weight layout (in, out, k)
+        wkey = next(ks)
+        import math as _m
+        fan_in = cin * k
+        bound = 1.0 / _m.sqrt(fan_in)
+        ups.append({
+            "w": jax.random.uniform(wkey, (cin, cout, k), jnp.float32, -bound, bound),
+            "b": jnp.zeros((cout,), jnp.float32),
+        })
+        for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            resblocks.append(amp_init(next(ks), cout, rk, rd, cfg))
+    p["ups"] = ups
+    p["resblocks"] = resblocks
+    ch = cfg.upsample_initial_channel // (2 ** len(cfg.upsample_rates))
+    p["activation_post"] = _act_init(ch, cfg)
+    p["conv_post"] = conv1d_init(next(ks), ch, 1, 7)
+    return p
+
+
+def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
+                  compute_dtype=jnp.float32) -> Array:
+    """mel (B, num_mels, T) -> wav (B, T * prod(upsample_rates)).
+
+    Parity: BigVGAN.forward (models.py:183-205).
+    """
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
+    aa = _make_aa(cfg)
+
+    x = conv1d(params["conv_pre"], mel, padding=3, compute_dtype=compute_dtype)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2,
+                             compute_dtype=compute_dtype)
+        xs = None
+        for j in range(num_kernels):
+            rb = params["resblocks"][i * num_kernels + j]
+            y = amp_apply(rb, x, cfg.resblock_kernel_sizes[j],
+                          cfg.resblock_dilation_sizes[j], cfg, compute_dtype)
+            xs = y if xs is None else xs + y
+        x = xs / num_kernels
+    x = aa(params["activation_post"])(x)
+    x = conv1d(params["conv_post"], x, padding=3, compute_dtype=compute_dtype)
+    return jnp.tanh(x)[:, 0, :]

@@ -1,0 +1,116 @@
+"""End-to-end generation pipelines (the scripts/ layer's compute core).
+
+Mirrors the reference inference call stack (scripts/txt2audio_for_2cap_flow.py
+:151-217 + ldm/models/diffusion/cfm1_audio.py:88-111 + ddpm_audio.py:357-371):
+
+    uc, c = encode(text);  x0 ~ N(0, (B, 20, T/2))
+    z  = CFG Euler ODE (25 steps)          [one lax.scan, one jit]
+    z /= scale_factor; mel = VAE.decode(z) [jit]
+    wav = BigVGAN(mel)                     [jit]
+
+The three stages are separately jitted so the ODE can be re-used across
+decode variants; everything stays on device until the final wav fetch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from maa3_tpu.diffusion import cfm
+from maa3_tpu.models.dit import DiTConfig, dit_apply, dit_init
+from maa3_tpu.models.vae1d import VAEConfig, vae_decode, vae_encode_moments, gaussian_sample, vae_init
+from maa3_tpu.models.bigvgan import BigVGANConfig, bigvgan_apply, bigvgan_init
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(eq=False)  # identity hash/eq: jit static self
+class T2APipeline:
+    """Text(/video)-to-audio generation pipeline.
+
+    `params` is a dict with keys: dit, vae, vocoder (each a pytree).
+    `scale_factor` is the latent std rescale (ddpm_audio.py:162-169).
+    """
+
+    dit_cfg: DiTConfig
+    vae_cfg: VAEConfig
+    voc_cfg: BigVGANConfig
+    params: dict
+    scale_factor: float = 1.0
+    compute_dtype: object = jnp.bfloat16
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def random_init(cls, key: Array, dit_cfg: DiTConfig = DiTConfig(),
+                    vae_cfg: VAEConfig = VAEConfig(),
+                    voc_cfg: BigVGANConfig = BigVGANConfig(),
+                    **kw) -> "T2APipeline":
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "dit": dit_init(k1, dit_cfg),
+            "vae": vae_init(k2, vae_cfg),
+            "vocoder": bigvgan_init(k3, voc_cfg),
+        }
+        return cls(dit_cfg, vae_cfg, voc_cfg, params, **kw)
+
+    # -- jitted stages -----------------------------------------------------
+
+    def velocity_fn(self, dit_params):
+        cfg = self.dit_cfg
+        dtype = self.compute_dtype
+
+        def vel(x, t_int, context):
+            return dit_apply(dit_params, cfg, x, t_int, context,
+                             compute_dtype=dtype)
+
+        return vel
+
+    @partial(jax.jit, static_argnames=("self", "steps"))
+    def _sample_latent(self, x0: Array, context: Array, uncond: Array,
+                       guidance_scale: Array, steps: int = 25) -> Array:
+        return cfm.sample_cfg(self.velocity_fn(self.params["dit"]), x0,
+                              context, uncond, guidance_scale, steps=steps)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _decode_mel(self, z: Array) -> Array:
+        z = z / self.scale_factor
+        return vae_decode(self.params["vae"], self.vae_cfg, z)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _vocode(self, mel: Array) -> Array:
+        return bigvgan_apply(self.params["vocoder"], self.voc_cfg, mel)
+
+    @partial(jax.jit, static_argnames=("self", "steps"))
+    def _generate_fused(self, x0, context, uncond, guidance_scale, steps=25):
+        z = cfm.sample_cfg(self.velocity_fn(self.params["dit"]), x0,
+                           context, uncond, guidance_scale, steps=steps)
+        mel = vae_decode(self.params["vae"], self.vae_cfg, z / self.scale_factor)
+        wav = bigvgan_apply(self.params["vocoder"], self.voc_cfg, mel)
+        return z, mel, wav
+
+    # -- public API --------------------------------------------------------
+
+    def generate(self, context: Array, uncond: Array, key: Array,
+                 latent_len: int = 312, guidance_scale: float = 5.0,
+                 steps: int = 25, fused: bool = True):
+        """context/uncond: (B, Ly, ctx_dim) text embeddings.
+        Returns (latent, mel, wav) device arrays.
+        Default latent_len 312 == 10 s (625 mel frames / 2), guidance 5.0 and
+        25 steps match scripts/txt2audio_for_2cap_flow.py:74,109.
+        """
+        b = context.shape[0]
+        x0 = jax.random.normal(
+            key, (b, self.dit_cfg.in_channels, latent_len), jnp.float32)
+        scale = jnp.float32(guidance_scale)
+        if fused:
+            return self._generate_fused(x0, context, uncond, scale, steps)
+        z = self._sample_latent(x0, context, uncond, scale, steps)
+        mel = self._decode_mel(z)
+        wav = self._vocode(mel)
+        return z, mel, wav

@@ -1,0 +1,332 @@
+"""PyTorch -> JAX checkpoint importer for the released reference weights.
+
+Maps PyTorch-Lightning state_dicts (SURVEY §5: prefixes `model.diffusion_model.*`,
+`first_stage_model.*`, `cond_stage_model.*`, optional `model_ema.*`, plus the
+`scale_factor` buffer) into this framework's pytrees:
+
+- Linear weights transpose (out,in) -> (in,out);
+- conv weights copy as-is (we store torch (out,in,k) / transposed (in,out,k));
+- the DiT's per-block tensors are STACKED along a leading depth axis (our
+  `lax.scan` layout);
+- BigVGAN weight_norm (weight_g/weight_v) is folded: w = g * v / ||v||_dim0.
+
+Works on plain dicts of numpy arrays, so `torch.load(..., map_location="cpu")`
+output feeds straight in.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+Array = np.ndarray
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def strip_prefix(sd: Dict[str, Array], prefix: str) -> Dict[str, Array]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def split_lightning_ckpt(state_dict: Dict[str, Array]) -> Dict[str, Dict[str, Array]]:
+    """Split a full PL checkpoint state_dict into component sub-dicts."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    return {
+        "dit": strip_prefix(sd, "model.diffusion_model."),
+        "vae": strip_prefix(sd, "first_stage_model."),
+        "cond": strip_prefix(sd, "cond_stage_model."),
+        "ema": strip_prefix(sd, "model_ema."),
+        "scale_factor": sd.get("scale_factor", None),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DiT
+# ---------------------------------------------------------------------------
+
+def _lin(sd, name, bias=True):
+    p = {"w": jnp.asarray(_np(sd[name + ".weight"]).T)}
+    if bias and name + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
+    return p
+
+
+def _norm_w(sd, name):
+    return {"weight": jnp.asarray(_np(sd[name + ".weight"]))}
+
+
+def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
+                   moe: bool = False, num_experts: int = 4) -> dict:
+    """Map TxtFlagLargeDiT / VideoFlagLargeDiT weights into dit/dit_moe pytrees."""
+    import jax
+
+    def block(i: int) -> dict:
+        b = f"blocks.{i}."
+        attn = {
+            "wq": _lin(sd, b + "attention.wq", bias=False),
+            "wk": _lin(sd, b + "attention.wk", bias=False),
+            "wv": _lin(sd, b + "attention.wv", bias=False),
+            "wo": _lin(sd, b + "attention.wo", bias=False),
+            "wk_y": _lin(sd, b + "attention.wk_y", bias=False),
+            "wv_y": _lin(sd, b + "attention.wv_y", bias=False),
+            "gate": jnp.asarray(_np(sd[b + "attention.gate"])),
+        }
+        if qk_norm:
+            for nm in ("q_norm", "k_norm", "ky_norm"):
+                attn[nm] = {
+                    "weight": jnp.asarray(_np(sd[b + f"attention.{nm}.weight"])),
+                    "bias": jnp.asarray(_np(sd[b + f"attention.{nm}.bias"])),
+                }
+        if moe:
+            ff = {
+                "time_experts": [
+                    {k: _lin(sd, b + f"feed_forward.time_experts.{e}.{k}", bias=False)
+                     for k in ("w1", "w2", "w3")}
+                    for e in range(num_experts)],
+                "freq_experts": [
+                    {k: _lin(sd, b + f"feed_forward.freq_experts.{e}.{k}", bias=False)
+                     for k in ("w1", "w2", "w3")}
+                    for e in range(num_experts)],
+            }
+            # stack experts: (E, in, out)
+            ff = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *ff["time_experts"]), jax.tree.map(
+                                  lambda *xs: jnp.stack(xs), *ff["freq_experts"])
+            ff = {"time_experts": ff[0], "freq_experts": ff[1]}
+        else:
+            ff = {k: _lin(sd, b + f"feed_forward.{k}", bias=False)
+                  for k in ("w1", "w2", "w3")}
+        return {
+            "attention": attn,
+            "feed_forward": ff,
+            "attention_norm": _norm_w(sd, b + "attention_norm"),
+            "ffn_norm": _norm_w(sd, b + "ffn_norm"),
+            "attention_y_norm": _norm_w(sd, b + "attention_y_norm"),
+            "adaLN": _lin(sd, b + "adaLN_modulation.1"),
+        }
+
+    blocks = [block(i) for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    params = {
+        "proj_in": _lin(sd, "proj_in"),
+        "t_embedder": {
+            "mlp0": _lin(sd, "t_embedder.mlp.0"),
+            "mlp2": _lin(sd, "t_embedder.mlp.2"),
+        },
+        "cap_embedder": {
+            "norm": {"weight": jnp.asarray(_np(sd["cap_embedder.0.weight"])),
+                     "bias": jnp.asarray(_np(sd["cap_embedder.0.bias"]))},
+            "linear": _lin(sd, "cap_embedder.1"),
+        },
+        "blocks": stacked,
+        "final_layer": {
+            "linear": _lin(sd, "final_layer.linear"),
+            "adaLN": _lin(sd, "final_layer.adaLN_modulation.1"),
+        },
+    }
+    if moe and "c_embedder.mlp.0.weight" in sd:
+        params["c_embedder"] = {
+            "mlp0": _lin(sd, "c_embedder.mlp.0"),
+            "mlp2": _lin(sd, "c_embedder.mlp.2"),
+            "ln": {"weight": jnp.asarray(_np(sd["c_embedder.mlp.3.weight"])),
+                   "bias": jnp.asarray(_np(sd["c_embedder.mlp.3.bias"]))},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# 1-D VAE
+# ---------------------------------------------------------------------------
+
+def _conv(sd, name):
+    p = {"w": jnp.asarray(_np(sd[name + ".weight"]))}
+    if name + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
+    return p
+
+
+def _gn(sd, name):
+    return {"weight": jnp.asarray(_np(sd[name + ".weight"])),
+            "bias": jnp.asarray(_np(sd[name + ".bias"]))}
+
+
+def _resblock_t(sd, name):
+    p = {
+        "norm1": _gn(sd, name + ".norm1"),
+        "conv1": _conv(sd, name + ".conv1"),
+        "norm2": _gn(sd, name + ".norm2"),
+        "conv2": _conv(sd, name + ".conv2"),
+        "k": int(_np(sd[name + ".conv1.weight"]).shape[-1]),
+    }
+    if name + ".nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = _conv(sd, name + ".nin_shortcut")
+    return p
+
+
+def _attnblock_t(sd, name):
+    return {
+        "norm": _gn(sd, name + ".norm"),
+        "q": _conv(sd, name + ".q"),
+        "k": _conv(sd, name + ".k"),
+        "v": _conv(sd, name + ".v"),
+        "proj_out": _conv(sd, name + ".proj_out"),
+    }
+
+
+def vae_from_torch(sd: Dict[str, Array], cfg) -> dict:
+    """Map AutoencoderKL (1-D) weights. cfg: VAEConfig."""
+    enc = {"conv_in": _conv(sd, "encoder.conv_in")}
+    down = []
+    for lvl in range(cfg.num_layers):
+        blocks = [_resblock_t(sd, f"encoder.down.{lvl}.block.{b}")
+                  for b in range(cfg.num_res_blocks)]
+        attns = []
+        a = 0
+        while f"encoder.down.{lvl}.attn.{a}.norm.weight" in sd:
+            attns.append(_attnblock_t(sd, f"encoder.down.{lvl}.attn.{a}"))
+            a += 1
+        lp = {"block": blocks, "attn": attns}
+        if f"encoder.down.{lvl}.downsample.conv.weight" in sd:
+            lp["downsample"] = _conv(sd, f"encoder.down.{lvl}.downsample.conv")
+        down.append(lp)
+    enc["down"] = down
+    enc["mid"] = {
+        "block_1": _resblock_t(sd, "encoder.mid.block_1"),
+        "attn_1": _attnblock_t(sd, "encoder.mid.attn_1"),
+        "block_2": _resblock_t(sd, "encoder.mid.block_2"),
+    }
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid"] = {
+        "block_1": _resblock_t(sd, "decoder.mid.block_1"),
+        "attn_1": _attnblock_t(sd, "decoder.mid.attn_1"),
+        "block_2": _resblock_t(sd, "decoder.mid.block_2"),
+    }
+    up = [None] * cfg.num_layers
+    for lvl in range(cfg.num_layers):
+        blocks = [_resblock_t(sd, f"decoder.up.{lvl}.block.{b}")
+                  for b in range(cfg.num_res_blocks + 1)]
+        attns = []
+        a = 0
+        while f"decoder.up.{lvl}.attn.{a}.norm.weight" in sd:
+            attns.append(_attnblock_t(sd, f"decoder.up.{lvl}.attn.{a}"))
+            a += 1
+        lp = {"block": blocks, "attn": attns}
+        if f"decoder.up.{lvl}.upsample.conv.weight" in sd:
+            lp["upsample"] = _conv(sd, f"decoder.up.{lvl}.upsample.conv")
+        up[lvl] = lp
+    dec["up"] = up
+    dec["norm_out"] = _gn(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# BigVGAN (weight-norm folding)
+# ---------------------------------------------------------------------------
+
+def fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """w = g * v / ||v||, norm over all dims except 0 (torch weight_norm dim=0)."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=axes, keepdims=True))
+    return (g.astype(np.float64) * v.astype(np.float64) / norm).astype(np.float32)
+
+
+def _wn_conv(sd, name):
+    if name + ".weight_g" in sd:
+        w = fold_weight_norm(_np(sd[name + ".weight_g"]),
+                             _np(sd[name + ".weight_v"]))
+    # new torch parametrize naming
+    elif name + ".parametrizations.weight.original0" in sd:
+        w = fold_weight_norm(_np(sd[name + ".parametrizations.weight.original0"]),
+                             _np(sd[name + ".parametrizations.weight.original1"]))
+    else:
+        w = _np(sd[name + ".weight"])
+    p = {"w": jnp.asarray(w)}
+    if name + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
+    return p
+
+
+def bigvgan_from_torch(sd: Dict[str, Array], cfg) -> dict:
+    """Map BigVGAN generator weights. cfg: BigVGANConfig."""
+    p = {"conv_pre": _wn_conv(sd, "conv_pre")}
+    ups = []
+    for i in range(len(cfg.upsample_rates)):
+        ups.append(_wn_conv(sd, f"ups.{i}.0"))
+    p["ups"] = ups
+    num_blocks = len(cfg.upsample_rates) * len(cfg.resblock_kernel_sizes)
+    resblocks = []
+    for n in range(num_blocks):
+        base = f"resblocks.{n}."
+        if cfg.resblock == "1":
+            rb = {
+                "convs1": [_wn_conv(sd, base + f"convs1.{j}") for j in range(3)],
+                "convs2": [_wn_conv(sd, base + f"convs2.{j}") for j in range(3)],
+                "acts": [],
+            }
+            n_acts = 6
+        else:
+            rb = {"convs": [_wn_conv(sd, base + f"convs.{j}") for j in range(2)],
+                  "acts": []}
+            n_acts = 2
+        for j in range(n_acts):
+            act = {"alpha": jnp.asarray(
+                _np(sd[base + f"activations.{j}.act.alpha"]))}
+            if base + f"activations.{j}.act.beta" in sd:
+                act["beta"] = jnp.asarray(
+                    _np(sd[base + f"activations.{j}.act.beta"]))
+            rb["acts"].append(act)
+        resblocks.append(rb)
+    p["resblocks"] = resblocks
+    post = {"alpha": jnp.asarray(_np(sd["activation_post.act.alpha"]))}
+    if "activation_post.act.beta" in sd:
+        post["beta"] = jnp.asarray(_np(sd["activation_post.act.beta"]))
+    p["activation_post"] = post
+    p["conv_post"] = _wn_conv(sd, "conv_post")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Cond stage (FrozenCLAPFLANEmbedder)
+# ---------------------------------------------------------------------------
+
+def clap_flan_from_torch(sd: Dict[str, Array], bert_cfg, t5_cfg) -> dict:
+    """cond_stage_model.* -> {bert, projection, t5} pytrees."""
+    from maa3_tpu.models.bert import bert_from_torch
+    from maa3_tpu.models.t5 import t5_from_torch
+    from maa3_tpu.models.clap import projection_from_torch
+    return {
+        "bert": bert_from_torch(sd, bert_cfg, prefix="caption_encoder.base."),
+        "projection": projection_from_torch(sd, prefix="caption_encoder.projection."),
+        "t5": t5_from_torch(sd, t5_cfg, prefix="t5_transformer."),
+    }
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a .ckpt/.pt file into numpy state_dict (CPU, lazy torch import)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "generator", "model"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return {k: _np(v) for k, v in ckpt.items()}

@@ -1,0 +1,60 @@
+"""Optimizer + LR schedule, matching the reference training recipe.
+
+Parity targets:
+- AdamW (betas 0.9/0.999 torch defaults), base_lr scaled by
+  accum * ngpu * batch_size (main.py:786-790)
+- LambdaLinearScheduler: linear warmup from f_start to f_max over
+  warm_up_steps, then linear decay toward f_min over cycle_length
+  (ldm/lr_scheduler.py:41-77; configs use warmup 10k, f_start 1e-6,
+  f_max 1.0, f_min 1.0 -> effectively constant after warmup)
+- gradient_clip_val 1.0 (configs lightning.trainer)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def lambda_linear_schedule(base_lr: float, warm_up_steps: int = 10000,
+                           f_start: float = 1e-6, f_max: float = 1.0,
+                           f_min: float = 1.0,
+                           cycle_length: float = 1e13) -> optax.Schedule:
+    """ldm/lr_scheduler.py:41-77 LambdaLinearScheduler, single cycle."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = f_start + (f_max - f_start) * step / max(warm_up_steps, 1)
+        decay = f_min + (f_max - f_min) * (cycle_length - (step - warm_up_steps)) / cycle_length
+        f = jnp.where(step < warm_up_steps, warm, decay)
+        return base_lr * f
+
+    return schedule
+
+
+def make_optimizer(base_lr: float = 3.0e-6, lr_multiplier: float = 16.0,
+                   warm_up_steps: int = 10000, grad_clip: float = 1.0,
+                   weight_decay: float = 1e-2,
+                   schedule: Optional[optax.Schedule] = None) -> optax.GradientTransformation:
+    """AdamW + linear-warmup schedule + global-norm clip.
+
+    lr_multiplier mirrors `accumulate_grad_batches * ngpu * bs` (main.py:786-790);
+    the reference default recipe is 16 (1 * 1 * 16) per config batch_size.
+    """
+    if schedule is None:
+        schedule = lambda_linear_schedule(base_lr * lr_multiplier, warm_up_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
+
+
+def ema_update(ema_params, new_params, decay: float, step) -> dict:
+    """LitEma warmup decay: min(decay, (1 + n) / (10 + n)) (ldm/modules/ema.py:16-35)."""
+    step = jnp.asarray(step, jnp.float32)
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree.map(lambda e, p: e * d + (1.0 - d) * p, ema_params, new_params)
