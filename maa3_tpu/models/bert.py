@@ -43,10 +43,11 @@ def _ln_init(d):
 def bert_init(key: Array, cfg: BertConfig) -> dict:
     ks = iter(jax.random.split(key, 16 + 16 * cfg.num_layers))
     d = cfg.hidden_size
+    from maa3_tpu.utils import nprand
     emb = {
-        "word": 0.02 * jax.random.normal(next(ks), (cfg.vocab_size, d)),
-        "position": 0.02 * jax.random.normal(next(ks), (cfg.max_position, d)),
-        "token_type": 0.02 * jax.random.normal(next(ks), (cfg.type_vocab_size, d)),
+        "word": jnp.asarray(nprand.normal(next(ks), (cfg.vocab_size, d), 0.02)),
+        "position": jnp.asarray(nprand.normal(next(ks), (cfg.max_position, d), 0.02)),
+        "token_type": jnp.asarray(nprand.normal(next(ks), (cfg.type_vocab_size, d), 0.02)),
         "ln": _ln_init(d),
     }
     layers = []

@@ -171,12 +171,11 @@ def bigvgan_init(key: Array, cfg: BigVGANConfig) -> dict:
         cin = cfg.upsample_initial_channel // (2 ** i)
         cout = cfg.upsample_initial_channel // (2 ** (i + 1))
         # ConvTranspose1d weight layout (in, out, k)
-        wkey = next(ks)
         import math as _m
-        fan_in = cin * k
-        bound = 1.0 / _m.sqrt(fan_in)
+        from maa3_tpu.utils import nprand
+        bound = 1.0 / _m.sqrt(cin * k)
         ups.append({
-            "w": jax.random.uniform(wkey, (cin, cout, k), jnp.float32, -bound, bound),
+            "w": jnp.asarray(nprand.uniform(next(ks), (cin, cout, k), -bound, bound)),
             "b": jnp.zeros((cout,), jnp.float32),
         })
         for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):

@@ -41,10 +41,11 @@ class T5Config:
 def t5_init(key: Array, cfg: T5Config) -> dict:
     ks = iter(jax.random.split(key, 8 + 8 * cfg.num_layers))
     d, inner = cfg.d_model, cfg.num_heads * cfg.d_kv
+    from maa3_tpu.utils import nprand
     p: dict = {
-        "shared": 1.0 * jax.random.normal(next(ks), (cfg.vocab_size, d)),
-        "rel_bias": 0.1 * jax.random.normal(
-            next(ks), (cfg.relative_attention_num_buckets, cfg.num_heads)),
+        "shared": jnp.asarray(nprand.normal(next(ks), (cfg.vocab_size, d), 1.0)),
+        "rel_bias": jnp.asarray(nprand.normal(
+            next(ks), (cfg.relative_attention_num_buckets, cfg.num_heads), 0.1)),
         "final_ln": {"weight": jnp.ones((d,))},
     }
     layers = []

@@ -29,13 +29,14 @@ Array = jax.Array
 
 def dense_init(key: Array, d_in: int, d_out: int, bias: bool = True,
                init: str = "xavier", scale: float = 0.02) -> dict:
-    """Initialize a dense layer. `init` in {xavier, normal, zeros}."""
-    wkey, _ = jax.random.split(key)
+    """Initialize a dense layer. `init` in {xavier, normal, zeros}.
+    Draws on the host (numpy Philox seeded from the key) — see utils.nprand."""
+    from maa3_tpu.utils import nprand
     if init == "xavier":
         limit = math.sqrt(6.0 / (d_in + d_out))
-        w = jax.random.uniform(wkey, (d_in, d_out), jnp.float32, -limit, limit)
+        w = jnp.asarray(nprand.uniform(key, (d_in, d_out), -limit, limit))
     elif init == "normal":
-        w = scale * jax.random.normal(wkey, (d_in, d_out), jnp.float32)
+        w = jnp.asarray(nprand.normal(key, (d_in, d_out), scale))
     elif init == "zeros":
         w = jnp.zeros((d_in, d_out), jnp.float32)
     else:

@@ -21,13 +21,14 @@ _DN = lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NCH", "OIH", "NCH"))
 
 def conv1d_init(key: Array, in_ch: int, out_ch: int, kernel_size: int,
                 groups: int = 1) -> dict:
-    """Kaiming-uniform init matching torch.nn.Conv1d defaults."""
-    wkey, bkey = jax.random.split(key)
+    """Kaiming-uniform init matching torch.nn.Conv1d defaults (host-side RNG)."""
+    from maa3_tpu.utils import nprand
+    rng = nprand.np_rng(key)
     fan_in = (in_ch // groups) * kernel_size
     bound = 1.0 / math.sqrt(fan_in)
-    w = jax.random.uniform(wkey, (out_ch, in_ch // groups, kernel_size),
-                           jnp.float32, -bound, bound)
-    b = jax.random.uniform(bkey, (out_ch,), jnp.float32, -bound, bound)
+    w = jnp.asarray(rng.uniform(-bound, bound,
+                                (out_ch, in_ch // groups, kernel_size)).astype("float32"))
+    b = jnp.asarray(rng.uniform(-bound, bound, (out_ch,)).astype("float32"))
     return {"w": w, "b": b}
 
 

@@ -71,27 +71,32 @@ class T2APipeline:
 
         return vel
 
+    # NOTE: params are explicit jit ARGUMENTS (donated weights live on
+    # device); closing over them would bake multi-GB constants into the
+    # compiled program and explode compile time.
+
     @partial(jax.jit, static_argnames=("self", "steps"))
-    def _sample_latent(self, x0: Array, context: Array, uncond: Array,
+    def _sample_latent(self, params, x0: Array, context: Array, uncond: Array,
                        guidance_scale: Array, steps: int = 25) -> Array:
-        return cfm.sample_cfg(self.velocity_fn(self.params["dit"]), x0,
+        return cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
                               context, uncond, guidance_scale, steps=steps)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _decode_mel(self, z: Array) -> Array:
+    def _decode_mel(self, params, z: Array) -> Array:
         z = z / self.scale_factor
-        return vae_decode(self.params["vae"], self.vae_cfg, z)
+        return vae_decode(params["vae"], self.vae_cfg, z)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _vocode(self, mel: Array) -> Array:
-        return bigvgan_apply(self.params["vocoder"], self.voc_cfg, mel)
+    def _vocode(self, params, mel: Array) -> Array:
+        return bigvgan_apply(params["vocoder"], self.voc_cfg, mel)
 
     @partial(jax.jit, static_argnames=("self", "steps"))
-    def _generate_fused(self, x0, context, uncond, guidance_scale, steps=25):
-        z = cfm.sample_cfg(self.velocity_fn(self.params["dit"]), x0,
+    def _generate_fused(self, params, x0, context, uncond, guidance_scale,
+                        steps=25):
+        z = cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
                            context, uncond, guidance_scale, steps=steps)
-        mel = vae_decode(self.params["vae"], self.vae_cfg, z / self.scale_factor)
-        wav = bigvgan_apply(self.params["vocoder"], self.voc_cfg, mel)
+        mel = vae_decode(params["vae"], self.vae_cfg, z / self.scale_factor)
+        wav = bigvgan_apply(params["vocoder"], self.voc_cfg, mel)
         return z, mel, wav
 
     # -- public API --------------------------------------------------------
@@ -109,8 +114,9 @@ class T2APipeline:
             key, (b, self.dit_cfg.in_channels, latent_len), jnp.float32)
         scale = jnp.float32(guidance_scale)
         if fused:
-            return self._generate_fused(x0, context, uncond, scale, steps)
-        z = self._sample_latent(x0, context, uncond, scale, steps)
-        mel = self._decode_mel(z)
-        wav = self._vocode(mel)
+            return self._generate_fused(self.params, x0, context, uncond,
+                                        scale, steps)
+        z = self._sample_latent(self.params, x0, context, uncond, scale, steps)
+        mel = self._decode_mel(self.params, z)
+        wav = self._vocode(self.params, mel)
         return z, mel, wav

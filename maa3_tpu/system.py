@@ -1,0 +1,227 @@
+"""MAA3System — the runtime object gluing config, weights, conditioning,
+sampling and decoding (the LatentDiffusion_audio + CFM role, minus torch).
+
+Responsibilities mirrored from the reference:
+- build from YAML config (scripts/txt2audio_for_2cap_flow.py:18-40
+  load_model_from_config + configs/*.yaml)
+- `get_learned_conditioning` (ddpm_audio.py:172-183) through the JAX
+  CLAP⧺T5 / T5 / video-feature towers
+- `sample` / `sample_cfg` (cfm1_audio.py:60-111) via the fused lax.scan ODE
+- `decode_first_stage` with scale_factor (ddpm_audio.py:357-371)
+- vocoder loading from a ckpt dir with config.json (models.py:394-552)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from maa3_tpu import config as config_mod
+from maa3_tpu.config import ModelSpec
+from maa3_tpu.diffusion import cfm
+from maa3_tpu.models.dit import DiTConfig, dit_apply, dit_init
+from maa3_tpu.models.dit_moe import MoEDiTConfig, moe_dit_apply, moe_dit_init
+from maa3_tpu.models.vae1d import (VAEConfig, gaussian_sample, vae_decode,
+                                   vae_encode_moments, vae_init)
+from maa3_tpu.models.bigvgan import BigVGANConfig, bigvgan_apply, bigvgan_init
+from maa3_tpu.models.bert import BertConfig
+from maa3_tpu.models.t5 import T5Config
+from maa3_tpu.models import clap as clap_mod
+from maa3_tpu.data.tokenizers import load_tokenizer
+from maa3_tpu import torch_import
+
+Array = jax.Array
+
+
+class MAA3System:
+    def __init__(self, spec: ModelSpec, params: dict,
+                 voc_cfg: Optional[BigVGANConfig] = None,
+                 scale_factor: float = 1.0,
+                 tokenizer_dir: Optional[str] = None,
+                 compute_dtype=jnp.bfloat16,
+                 clap_cfg: Optional[clap_mod.CLAPFLANConfig] = None):
+        self.spec = spec
+        self.params = params  # {dit, vae, cond?, vocoder?}
+        self.voc_cfg = voc_cfg or BigVGANConfig()
+        self.scale_factor = float(scale_factor)
+        self.compute_dtype = compute_dtype
+        self.clap_cfg = clap_cfg or clap_mod.CLAPFLANConfig()
+        tk_root = tokenizer_dir or os.environ.get("MAA3_TOKENIZER_DIR")
+        self.bert_tokenizer = load_tokenizer(
+            os.path.join(tk_root, "bert") if tk_root else None, "bert")
+        self.t5_tokenizer = load_tokenizer(
+            os.path.join(tk_root, "t5") if tk_root else None, "t5")
+        self._jit_cache: dict = {}
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config_paths: Sequence[str],
+                    overrides: Sequence[str] = (),
+                    ckpt_path: Optional[str] = None,
+                    vocoder_dir: Optional[str] = None,
+                    seed: int = 0, compute_dtype=jnp.bfloat16,
+                    init_cond: bool = True) -> "MAA3System":
+        cfg = config_mod.load_config(config_paths, overrides)
+        spec = config_mod.parse_model_config(cfg)
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+
+        params: dict = {}
+        scale_factor = spec.scale_factor
+        if ckpt_path:
+            sd = torch_import.load_torch_checkpoint(ckpt_path)
+            parts = torch_import.split_lightning_ckpt(sd)
+            moe = spec.backbone_kind == "video_moe_dit"
+            params["dit"] = torch_import.dit_from_torch(
+                parts["dit"], depth=spec.dit.depth, qk_norm=spec.dit.qk_norm,
+                moe=moe, num_experts=getattr(spec.dit, "num_experts", 4))
+            params["vae"] = torch_import.vae_from_torch(parts["vae"], spec.vae)
+            if spec.cond_kind in ("clap_flan", "clap", "flan") and parts["cond"]:
+                params["cond"] = torch_import.clap_flan_from_torch(
+                    parts["cond"], BertConfig(), T5Config())
+            elif spec.cond_kind.startswith("video_feat") and parts["cond"]:
+                params["cond"] = {"embedder": {
+                    "w": jnp.asarray(parts["cond"]["embedder.0.weight"].T),
+                    "b": jnp.asarray(parts["cond"]["embedder.0.bias"])}}
+            if parts["scale_factor"] is not None:
+                scale_factor = float(parts["scale_factor"])
+        else:
+            if spec.backbone_kind == "video_moe_dit":
+                params["dit"] = moe_dit_init(k1, spec.dit)
+            else:
+                params["dit"] = dit_init(k1, spec.dit)
+            params["vae"] = vae_init(k2, spec.vae)
+            if init_cond:
+                if spec.cond_kind in ("clap_flan", "clap", "flan"):
+                    params["cond"] = clap_mod.clap_flan_init(
+                        k3, clap_mod.CLAPFLANConfig())
+                elif spec.cond_kind.startswith("video_feat"):
+                    params["cond"] = clap_mod.video_feat_encoder_init(
+                        k3, 512, spec.dit.context_dim)
+
+        voc_cfg = BigVGANConfig()
+        if vocoder_dir:
+            cfg_json = os.path.join(vocoder_dir, "config.json")
+            if os.path.exists(cfg_json):
+                with open(cfg_json) as f:
+                    voc_cfg = BigVGANConfig.from_dict(json.load(f))
+            gen_path = None
+            for name in ("generator.pt", "generator.pth", "g_02500000",
+                         "g_02500000.pth", "bigvgan_generator.pt", "best_netG.pt"):
+                p = os.path.join(vocoder_dir, name)
+                if os.path.exists(p):
+                    gen_path = p
+                    break
+            if gen_path:
+                sd = torch_import.load_torch_checkpoint(gen_path)
+                params["vocoder"] = torch_import.bigvgan_from_torch(sd, voc_cfg)
+        if "vocoder" not in params:
+            params["vocoder"] = bigvgan_init(k4, voc_cfg)
+
+        return cls(spec, params, voc_cfg, scale_factor,
+                   compute_dtype=compute_dtype)
+
+    # -- conditioning ------------------------------------------------------
+
+    def get_learned_conditioning(self, c) -> Array:
+        """c: {'ori_caption': [...], 'struct_caption': [...]} or list[str]
+        or video features (B, Lv, 512)."""
+        if self.spec.cond_kind == "clap_flan":
+            ori = c["ori_caption"] if isinstance(c, dict) else list(c)
+            struct = c["struct_caption"] if isinstance(c, dict) else list(c)
+            ori_ids, ori_mask = self.bert_tokenizer(ori)
+            st_ids, st_mask = self.t5_tokenizer(struct)
+            fn = self._jit("enc_clap_flan", partial(clap_mod.clap_flan_encode,
+                                                    cfg=self.clap_cfg))
+            return fn(self.params["cond"], ori_ids=jnp.asarray(ori_ids),
+                      struct_ids=jnp.asarray(st_ids),
+                      ori_mask=jnp.asarray(ori_mask),
+                      struct_mask=jnp.asarray(st_mask))
+        if self.spec.cond_kind == "clap":
+            ids, mask = self.bert_tokenizer(list(c))
+            fn = self._jit("enc_clap", partial(clap_mod.clap_encode,
+                                               cfg=self.clap_cfg))
+            return fn(self.params["cond"], ids=jnp.asarray(ids),
+                      mask=jnp.asarray(mask))
+        if self.spec.cond_kind == "flan":
+            ids, mask = self.t5_tokenizer(list(c))
+            fn = self._jit("enc_flan", partial(clap_mod.flan_encode,
+                                               cfg=self.clap_cfg))
+            return fn(self.params["cond"], ids=jnp.asarray(ids),
+                      mask=jnp.asarray(mask))
+        if self.spec.cond_kind.startswith("video_feat"):
+            return clap_mod.video_feat_encoder_apply(self.params["cond"],
+                                                     jnp.asarray(c))
+        raise ValueError(f"no conditioning for kind {self.spec.cond_kind}")
+
+    # -- velocity / sampling ----------------------------------------------
+
+    def _velocity_fn(self, dit_params):
+        spec = self.spec
+        dtype = self.compute_dtype
+        if spec.backbone_kind == "video_moe_dit":
+            return lambda x, t, c: moe_dit_apply(dit_params, spec.dit, x, t, c,
+                                                 compute_dtype=dtype)
+        return lambda x, t, c: dit_apply(dit_params, spec.dit, x, t, c,
+                                         compute_dtype=dtype)
+
+    def _jit(self, name, fn):
+        # params are explicit jit arguments — closing over them would bake
+        # the weights into the program as constants (compile-time blowup).
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def sample_cfg(self, cond: Array, scale: float, uncond: Array,
+                   key: Array, shape=None, timesteps: int = 25) -> Array:
+        b = cond.shape[0]
+        if shape is None:
+            shape = (b, self.spec.mel_dim, self.spec.mel_length)
+        x0 = jax.random.normal(key, shape, jnp.float32)
+
+        def run(dit_params, x0, c, uc, s):
+            return cfm.sample_cfg(self._velocity_fn(dit_params), x0, c, uc, s,
+                                  steps=timesteps,
+                                  num_timesteps=self.spec.timesteps)
+
+        return self._jit(("sample_cfg", timesteps), run)(
+            self.params["dit"], x0, cond, uncond, jnp.float32(scale))
+
+    def sample(self, cond: Array, key: Array, shape=None,
+               timesteps: int = 25) -> Array:
+        b = cond.shape[0]
+        if shape is None:
+            shape = (b, self.spec.mel_dim, self.spec.mel_length)
+        x0 = jax.random.normal(key, shape, jnp.float32)
+
+        def run(dit_params, x0, c):
+            return cfm.sample(self._velocity_fn(dit_params), x0, c,
+                              steps=timesteps,
+                              num_timesteps=self.spec.timesteps)
+
+        return self._jit(("sample", timesteps), run)(self.params["dit"], x0, cond)
+
+    # -- first stage / vocoder --------------------------------------------
+
+    def encode_first_stage(self, mel: Array, key: Optional[Array] = None) -> Array:
+        moments = vae_encode_moments(self.params["vae"], self.spec.vae, mel)
+        return gaussian_sample(moments, key) * self.scale_factor
+
+    def decode_first_stage(self, z: Array) -> Array:
+        def run(vae_params, z, scale):
+            return vae_decode(vae_params, self.spec.vae, z / scale)
+        return self._jit("decode", run)(self.params["vae"], z,
+                                        jnp.float32(self.scale_factor))
+
+    def vocode(self, mel: Array) -> np.ndarray:
+        def run(voc_params, m):
+            return bigvgan_apply(voc_params, self.voc_cfg, m)
+        wav = self._jit("vocode", run)(self.params["vocoder"], mel)
+        return np.asarray(wav)

@@ -1,0 +1,234 @@
+"""Trainer — the main.py / PyTorch-Lightning role, TPU-native.
+
+Capabilities mirrored from the reference trainer stack (SURVEY §2.3, §5):
+- config-driven model + data construction (main.py:604-626)
+- lr scaling base_lr * accum * ndata * bs (main.py:786-790)
+- std-rescale of the latent on the first batch (ddpm_audio.py:88-103)
+- grad-clip 1.0, AdamW, LambdaLinear warmup (configs)
+- EMA shadow (ldm/modules/ema.py)
+- Orbax checkpointing: top-k + last + crash save (main.py:316-320,659-679)
+- per-step metrics logging (JSONL + stdout; CUDACallback's epoch time /
+  peak-mem equivalent via device memory_stats)
+- data+model mesh sharding instead of DDP/NCCL
+
+Process layout: one python process per host; `jax.process_index()` is the
+DDP "rank" for the bucketed sampler split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from maa3_tpu.config import ModelSpec
+from maa3_tpu.models.dit import dit_apply
+from maa3_tpu.models.dit_moe import moe_dit_apply
+from maa3_tpu.models import clap as clap_mod
+from maa3_tpu.models.vae1d import vae_encode_moments, gaussian_sample
+from maa3_tpu.parallel.mesh import (batch_sharding, dit_param_specs, make_mesh,
+                                    replicated)
+from maa3_tpu.train.optim import make_optimizer
+from maa3_tpu.train.step import TrainState, create_train_state, make_train_step
+
+Array = jax.Array
+
+
+class Trainer:
+    def __init__(self, system, batch_size: int = 16, lr_multiplier: Optional[float] = None,
+                 use_ema: bool = False, ema_decay: float = 0.9999,
+                 grad_clip: float = 1.0, warm_up_steps: int = 10000,
+                 log_every: int = 50, ckpt_every: int = 2000,
+                 ckpt_dir: str = "logs/ckpt", n_model: int = 1,
+                 train_cond: Optional[bool] = None):
+        """system: MAA3System (provides spec, params, tokenizers)."""
+        self.system = system
+        self.spec: ModelSpec = system.spec
+        self.batch_size = batch_size
+        self.log_every = log_every
+        self.ckpt_every = ckpt_every
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.train_cond = (self.spec.cond_stage_trainable
+                           if train_cond is None else train_cond)
+
+        n_dev = len(jax.devices())
+        n_model = n_model if n_dev % max(n_model, 1) == 0 else 1
+        self.mesh = make_mesh(n_dev // n_model, n_model)
+
+        lr_mult = lr_multiplier if lr_multiplier is not None else (
+            self.mesh.shape["data"] * batch_size)  # accum(1) * ndata * bs
+        self.optimizer = make_optimizer(self.spec.base_learning_rate,
+                                        lr_multiplier=lr_mult,
+                                        warm_up_steps=warm_up_steps,
+                                        grad_clip=grad_clip)
+
+        # trainable vs frozen split
+        trainable = {"dit": system.params["dit"]}
+        if self.train_cond and "cond" in system.params:
+            trainable["cond"] = system.params["cond"]
+        frozen = {"vae": system.params["vae"]}
+
+        # shard: DiT tensor-parallel specs; everything else replicated
+        from jax.sharding import NamedSharding
+        dit_specs = dit_param_specs(trainable["dit"])
+        trainable["dit"] = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            trainable["dit"], dit_specs)
+        if "cond" in trainable:
+            trainable["cond"] = jax.device_put(trainable["cond"],
+                                               replicated(self.mesh))
+        frozen = jax.device_put(frozen, replicated(self.mesh))
+
+        self.state = create_train_state(trainable, frozen, self.optimizer,
+                                        use_ema=use_ema,
+                                        scale_factor=self.spec.scale_factor)
+
+        conditioner = self._make_conditioner()
+        apply_fn = None
+        if self.spec.backbone_kind == "video_moe_dit":
+            dit_cfg = self.spec.dit
+            apply_fn = (lambda p, x, t, c:
+                        moe_dit_apply(p, dit_cfg, x, t, c))
+        self._train_step = jax.jit(make_train_step(
+            self.spec.dit, self.spec.vae, self.optimizer,
+            num_timesteps=self.spec.timesteps, ema_decay=ema_decay,
+            conditioner=conditioner, apply_fn=apply_fn))
+        self._scale_by_std_done = not self.spec.scale_by_std
+        self._metrics_path = os.path.join(self.ckpt_dir, "metrics.jsonl")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+    # -- conditioning ------------------------------------------------------
+
+    def _make_conditioner(self):
+        kind = self.spec.cond_kind
+        clap_cfg = self.system.clap_cfg
+        if not self.train_cond:
+            return None  # batches carry precomputed "context"
+        if kind == "clap_flan":
+            def cond(params, batch):
+                return clap_mod.clap_flan_encode(
+                    params["cond"], clap_cfg, batch["ori_ids"],
+                    batch["struct_ids"], batch.get("ori_mask"),
+                    batch.get("struct_mask"))
+            return cond
+        if kind == "flan":
+            def cond(params, batch):
+                return clap_mod.flan_encode(params["cond"], clap_cfg,
+                                            batch["struct_ids"],
+                                            batch.get("struct_mask"))
+            return cond
+        if kind.startswith("video_feat"):
+            def cond(params, batch):
+                return clap_mod.video_feat_encoder_apply(params["cond"],
+                                                         batch["video_feat"])
+            return cond
+        return None
+
+    def prepare_batch(self, raw: dict) -> Dict[str, Array]:
+        """Host collate output -> device arrays on the data-sharded mesh."""
+        batch: Dict[str, np.ndarray] = {"mel": np.asarray(raw["image"], np.float32)}
+        if self.train_cond and self.spec.cond_kind in ("clap_flan", "flan"):
+            cap = raw["caption"]
+            ori_ids, ori_mask = self.system.bert_tokenizer(cap["ori_caption"])
+            st_ids, st_mask = self.system.t5_tokenizer(cap["struct_caption"])
+            batch.update(ori_ids=ori_ids, ori_mask=ori_mask,
+                         struct_ids=st_ids, struct_mask=st_mask)
+        elif self.spec.cond_kind.startswith("video_feat"):
+            batch["video_feat"] = np.asarray(raw["video_feat"], np.float32)
+        elif "context" in raw:
+            batch["context"] = np.asarray(raw["context"], np.float32)
+        elif "caption" in raw:
+            # frozen cond stage: encode outside the train step
+            batch["context"] = np.asarray(
+                self.system.get_learned_conditioning(raw["caption"]), np.float32)
+        return {k: jax.device_put(v, batch_sharding(self.mesh, np.asarray(v).ndim))
+                for k, v in batch.items()}
+
+    # -- scale_by_std (ddpm_audio.py:88-103) ------------------------------
+
+    def maybe_rescale_by_std(self, batch: Dict[str, Array], key: Array) -> None:
+        if self._scale_by_std_done:
+            return
+        moments = vae_encode_moments(self.state.frozen["vae"], self.spec.vae,
+                                     batch["mel"])
+        z = gaussian_sample(moments, key)
+        scale = 1.0 / float(jnp.std(z.flatten()))
+        print(f"### USING STD-RESCALING: scale_factor = {scale:.5f} ###")
+        self.state = self.state._replace(scale_factor=jnp.float32(scale))
+        self.system.scale_factor = scale
+        self._scale_by_std_done = True
+
+    # -- the loop ----------------------------------------------------------
+
+    def fit(self, loader: Iterator[dict], max_steps: int = 1000,
+            seed: int = 0) -> Dict[str, float]:
+        key = jax.random.PRNGKey(seed)
+        step0 = int(self.state.step)
+        t_start = time.time()
+        last_metrics: Dict[str, float] = {}
+        with jax.set_mesh(self.mesh):
+            for raw in loader:
+                if int(self.state.step) - step0 >= max_steps:
+                    break
+                batch = self.prepare_batch(raw)
+                key, sub = jax.random.split(key)
+                self.maybe_rescale_by_std(batch, sub)
+                try:
+                    self.state, metrics = self._train_step(self.state, batch, sub)
+                except Exception:
+                    self.save_checkpoint(tag="crash")  # SetupCallback.on_exception
+                    raise
+                step = int(self.state.step)
+                if step % self.log_every == 0 or step - step0 >= max_steps:
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    last_metrics["step"] = step
+                    last_metrics["steps_per_sec"] = (
+                        (step - step0) / max(time.time() - t_start, 1e-9))
+                    self._log(last_metrics)
+                if self.ckpt_every and step % self.ckpt_every == 0:
+                    self.save_checkpoint()
+        return last_metrics
+
+    def _log(self, metrics: Dict[str, float]) -> None:
+        print("  ".join(f"{k}={v:.5g}" for k, v in metrics.items()), flush=True)
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+
+    # -- checkpointing (Orbax) --------------------------------------------
+
+    def save_checkpoint(self, tag: Optional[str] = None) -> str:
+        import orbax.checkpoint as ocp
+        step = int(self.state.step)
+        name = tag or f"step_{step:08d}"
+        path = os.path.join(self.ckpt_dir, name)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": self.state.step,
+                   "scale_factor": self.state.scale_factor}
+        if self.state.ema_params is not None:
+            payload["ema_params"] = self.state.ema_params
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": self.state.step,
+                   "scale_factor": self.state.scale_factor}
+        if self.state.ema_params is not None:
+            payload["ema_params"] = self.state.ema_params
+        restored = ckptr.restore(path, target=payload)
+        self.state = self.state._replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=restored["step"], scale_factor=restored["scale_factor"],
+            ema_params=restored.get("ema_params", self.state.ema_params))
+        self._scale_by_std_done = True

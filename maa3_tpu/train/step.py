@@ -49,14 +49,20 @@ def create_train_state(params: dict, frozen: dict, optimizer,
 
 def make_train_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig, optimizer,
                     num_timesteps: int = 1000, ema_decay: float = 0.9999,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, conditioner=None,
+                    apply_fn=None):
     """Returns train_step(state, batch, key) -> (state, metrics).
 
-    batch: {"mel": (B, 80, T) log-mel, "context": (B, Ly, ctx_dim)}.
-    The context is the (possibly trainable upstream) conditioning embedding;
-    when text encoders are trainable they move inside params and this fn's
-    velocity closure is extended (see train/loop.py).
+    batch: {"mel": (B, 80, T) log-mel} plus either a precomputed
+    "context" (B, Ly, ctx_dim) or token arrays consumed by `conditioner`.
+
+    conditioner(params, batch) -> context: runs the (trainable) cond stage
+    INSIDE the loss so its gradients flow — the reference trains CLAP/T5
+    jointly (cond_stage_trainable: true, configs/txt2audio-cfm-cfg.yaml:15).
+    apply_fn overrides the backbone (e.g. moe_dit_apply for the video model).
     """
+    backbone = apply_fn or (lambda p, x, t, c: dit_apply(p, dit_cfg, x, t, c,
+                                                         compute_dtype=compute_dtype))
 
     def loss_fn(params, frozen, scale_factor, batch, key):
         kvae, kcfm = jax.random.split(key)
@@ -64,11 +70,13 @@ def make_train_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig, optimizer,
         z = gaussian_sample(moments, kvae)
         z = jax.lax.stop_gradient(z) * scale_factor
 
-        def velocity(x, t_int, context):
-            return dit_apply(params["dit"], dit_cfg, x, t_int, context,
-                             compute_dtype=compute_dtype)
+        context = (conditioner(params, batch) if conditioner is not None
+                   else batch["context"])
 
-        loss, aux = cfm.cfm_loss(velocity, z, batch["context"], kcfm,
+        def velocity(x, t_int, c):
+            return backbone(params["dit"], x, t_int, c)
+
+        loss, aux = cfm.cfm_loss(velocity, z, context, kcfm,
                                  num_timesteps=num_timesteps)
         return loss, aux
 

@@ -1,0 +1,27 @@
+"""Host-side parameter initialization RNG.
+
+jax.random on-device is the right tool inside jitted code, but parameter
+*initialization* is a one-off host task: routing hundreds of distinctly-shaped
+uniform/normal draws through XLA costs one compilation each (minutes of wall
+clock for a full system). We instead derive a numpy Philox generator from the
+JAX PRNG key — deterministic per key, zero compiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+
+def np_rng(key) -> np.random.Generator:
+    data = np.asarray(jax.random.key_data(key)).ravel().astype(np.uint64)
+    seed = (int(data[-2]) << 32) | int(data[-1]) if data.size >= 2 else int(data[-1])
+    return np.random.default_rng(np.random.Philox(seed))
+
+
+def uniform(key, shape, lo: float, hi: float) -> np.ndarray:
+    return np_rng(key).uniform(lo, hi, size=shape).astype(np.float32)
+
+
+def normal(key, shape, std: float = 1.0) -> np.ndarray:
+    return (np_rng(key).standard_normal(size=shape) * std).astype(np.float32)

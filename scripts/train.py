@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Training entry — the reference `main.py` CLI surface on the TPU stack.
+
+  python scripts/train.py -b configs/txt2audio-cfm-cfg.yaml -t \
+      [--max_steps N] [--ckpt_dir D] [--resume PATH] [key.sub=value ...]
+
+Builds the model + data from YAML (reference main.py:604-626), scales the lr
+by ndata*bs (main.py:786-790), runs the jitted CFM train step over the
+data(x model) mesh, Orbax-checkpoints, and logs metrics JSONL.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+import jax
+
+if os.environ.get("MAA3_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", nargs="*", default=[])
+    p.add_argument("-t", "--train", action="store_true")
+    p.add_argument("-r", "--resume", type=str, default="")
+    p.add_argument("--torch_ckpt", type=str, default="",
+                   help="warm-start from a reference .ckpt")
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--ckpt_dir", type=str, default="logs/maa3")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel axis size")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("overrides", nargs="*", default=[])
+    return p.parse_known_args()
+
+
+def build_loader(cfg: dict, system, batch_size: int, seed: int):
+    """Map the config's data subtree onto our dataset classes."""
+    from maa3_tpu.data.datasets import (TextSpecDataset, AnyLenSpecDataset,
+                                        BucketBatchSampler, PrefetchLoader,
+                                        collate_spec)
+    data = cfg.get("data", {}).get("params", {})
+    train = data.get("train", {})
+    target = train.get("target", "")
+    params = train.get("params", {})
+    dcfg = params.get("dataset_cfg", params.get("specs_dataset_cfg", params))
+
+    if "txt_spec_dataset" in target or "dataset_name" in dcfg:
+        ds = TextSpecDataset("train", dcfg["dataset_name"],
+                             dcfg.get("spec_crop_len", 624),
+                             dcfg.get("drop", 0.0), seed=seed)
+        indices = list(range(len(ds)))
+
+        def collate(items):
+            return {
+                "image": collate_spec([it["image"] for it in items],
+                                      mode="tile"),
+                "caption": {
+                    "ori_caption": [it["caption"]["ori_caption"] for it in items],
+                    "struct_caption": [it["caption"]["struct_caption"] for it in items],
+                },
+            }
+    else:
+        ds = AnyLenSpecDataset("train", dcfg["main_spec_dir_path"],
+                               dcfg.get("other_spec_dir_path", ""),
+                               drop=dcfg.get("drop", 0.0),
+                               spec_crop_len=dcfg.get("spec_crop_len", 1248),
+                               seed=seed)
+        indices = ds.ordered_indices()
+        collate = ds.collater
+
+    nproc = jax.process_count()
+    sampler = BucketBatchSampler(indices, batch_size, num_replicas=nproc,
+                                 rank=jax.process_index(), seed=seed)
+
+    def epochs():
+        epoch = 0
+        while True:
+            sampler.set_epoch(epoch)
+            yield from PrefetchLoader(ds, sampler, collate)
+            epoch += 1
+
+    return epochs()
+
+
+def main():
+    opt, _ = parse_args()
+    from maa3_tpu import config as config_mod
+    from maa3_tpu.system import MAA3System
+    from maa3_tpu.train.loop import Trainer
+    import jax.numpy as jnp
+
+    cfg = config_mod.load_config(opt.base, opt.overrides)
+    system = MAA3System.from_config(opt.base, opt.overrides,
+                                    ckpt_path=opt.torch_ckpt or None,
+                                    seed=opt.seed)
+    batch_size = opt.batch_size or cfg.get("data", {}).get("params", {}).get(
+        "batch_size", 16)
+    trainer = Trainer(system, batch_size=batch_size, ckpt_dir=opt.ckpt_dir,
+                      use_ema=opt.use_ema, n_model=opt.n_model)
+    if opt.resume:
+        trainer.restore_checkpoint(opt.resume)
+
+    loader = build_loader(cfg, system, batch_size, opt.seed)
+    metrics = trainer.fit(loader, max_steps=opt.max_steps, seed=opt.seed)
+    trainer.save_checkpoint(tag="last")
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

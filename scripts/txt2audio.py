@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Text-to-audio CLI — flag-compatible with the reference
+scripts/txt2audio_for_2cap_flow.py (--prompt, -b config, -r ckpt, --scale,
+--ddim_steps, --vocoder-ckpt, --outdir, --test-dataset, --n_samples, -H -W).
+
+Generates: uc = encode({"",""}), c = encode(prompt), x0 ~ N(0, (H, W)),
+CFM.sample_cfg 25 steps -> VAE decode -> BigVGAN -> wav + result.csv
+(reference call stack at scripts/txt2audio_for_2cap_flow.py:151-217).
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+import jax
+
+if os.environ.get("MAA3_PLATFORM"):
+    # the axon sitecustomize overrides JAX_PLATFORMS; this is the off switch
+    jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prompt", type=str, default="a bird chirps")
+    p.add_argument("--test-dataset", type=str, default="none",
+                   help="TSV manifest to generate for (testset mode)")
+    p.add_argument("--outdir", type=str, default="outputs/txt2audio-samples")
+    p.add_argument("--ddim_steps", type=int, default=25)
+    p.add_argument("--steps", type=int, default=None, help="alias of --ddim_steps")
+    p.add_argument("--n_iter", type=int, default=1)
+    p.add_argument("-H", type=int, default=20)
+    p.add_argument("-W", type=int, default=312)
+    p.add_argument("--n_samples", type=int, default=1)
+    p.add_argument("--scale", type=float, default=5.0)
+    p.add_argument("-r", "--resume", type=str, default="",
+                   help="torch .ckpt to import")
+    p.add_argument("-b", "--base", type=str, default="",
+                   help="comma-separated config yamls")
+    p.add_argument("--vocoder-ckpt", type=str, default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--fp32", action="store_true",
+                   help="run the DiT in fp32 (parity mode)")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_args()
+    steps = opt.steps or opt.ddim_steps
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.io import wavfile
+    from maa3_tpu.system import MAA3System
+    from maa3_tpu.data.datasets import read_tsv
+
+    cfg_paths = [c for c in opt.base.split(",") if c] or [
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "configs", "txt2audio-cfm-cfg.yaml")]
+    system = MAA3System.from_config(
+        cfg_paths, ckpt_path=opt.resume or None,
+        vocoder_dir=opt.vocoder_ckpt or None, seed=opt.seed,
+        compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16)
+    if not opt.resume:
+        print("WARNING: no checkpoint given (-r); generating with random weights")
+
+    os.makedirs(opt.outdir, exist_ok=True)
+    key = jax.random.PRNGKey(opt.seed)
+
+    if opt.test_dataset != "none":
+        rows = read_tsv(opt.test_dataset)
+        prompts = [{"ori_caption": r["ori_cap"],
+                    "struct_caption": r.get("caption", r["ori_cap"]),
+                    "name": r.get("name", f"sample_{i}")}
+                   for i, r in enumerate(rows)]
+    else:
+        prompts = [{"ori_caption": opt.prompt,
+                    "struct_caption": f"<{opt.prompt}& all>",
+                    "name": "prompt"}]
+
+    uc = system.get_learned_conditioning(
+        {"ori_caption": [""] * opt.n_samples, "struct_caption": [""] * opt.n_samples})
+
+    results = []
+    for i, pr in enumerate(prompts):
+        c = system.get_learned_conditioning(
+            {"ori_caption": [pr["ori_caption"]] * opt.n_samples,
+             "struct_caption": [pr["struct_caption"]] * opt.n_samples})
+        key, sub = jax.random.split(key)
+        z = system.sample_cfg(c, opt.scale, uc, sub,
+                              shape=(opt.n_samples, opt.H, opt.W),
+                              timesteps=steps)
+        mel = system.decode_first_stage(z)
+        wav = system.vocode(mel)
+        for n in range(opt.n_samples):
+            fname = f"{pr['name']}_{n}.wav"
+            path = os.path.join(opt.outdir, fname)
+            wavfile.write(path, opt.sample_rate,
+                          (np.clip(wav[n], -1, 1) * 32767).astype(np.int16))
+            results.append({"caption": pr["ori_caption"], "file": fname})
+        print(f"[{i + 1}/{len(prompts)}] {pr['name']}: wrote "
+              f"{opt.n_samples} wav(s), mel {tuple(mel.shape)}")
+
+    with open(os.path.join(opt.outdir, "result.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["caption", "file"])
+        w.writeheader()
+        w.writerows(results)
+    print(f"done -> {opt.outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Training-loop integration: synthetic TSV + mels -> Trainer.fit a few steps,
+loss decreases on a fixed batch, checkpoint save/restore roundtrips."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maa3_tpu.config import ModelSpec
+from maa3_tpu.models.dit import DiTConfig, dit_init
+from maa3_tpu.models.vae1d import VAEConfig, vae_init
+from maa3_tpu.models.bert import BertConfig
+from maa3_tpu.models.t5 import T5Config
+from maa3_tpu.models import clap as clap_mod
+from maa3_tpu.system import MAA3System
+from maa3_tpu.train.loop import Trainer
+
+
+def _tiny_system(tmp_path):
+    dit_cfg = DiTConfig(in_channels=4, context_dim=24, hidden_size=32,
+                        depth=2, num_heads=4, max_len=128, multiple_of=16)
+    vae_cfg = VAEConfig(in_channels=8, out_ch=8, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=5,
+                        z_channels=4, embed_dim=4)
+    clap_cfg = clap_mod.CLAPFLANConfig(
+        bert=BertConfig(vocab_size=30522, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32, max_position=128),
+        t5=T5Config(vocab_size=32128, d_model=24, d_kv=4, d_ff=32,
+                    num_layers=1, num_heads=2),
+        d_proj=24, max_length=12)
+    spec = ModelSpec(kind="cfm", backbone_kind="text_dit", dit=dit_cfg,
+                     vae=vae_cfg, cond_kind="clap_flan", cond_params_cfg={},
+                     mel_dim=4, mel_length=16, scale_by_std=True,
+                     cond_stage_trainable=True, base_learning_rate=1e-3)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "dit": dit_init(key, dit_cfg),
+        "vae": vae_init(key, vae_cfg),
+        "cond": clap_mod.clap_flan_init(key, clap_cfg),
+    }
+    system = MAA3System(spec, params, compute_dtype=jnp.float32,
+                        clap_cfg=clap_cfg)
+    system.bert_tokenizer.max_length = 12
+    system.t5_tokenizer.max_length = 12
+    return system
+
+
+def _batches(n, bs=8):
+    rng = np.random.RandomState(0)
+    mel = rng.randn(bs, 8, 32).astype(np.float32)  # fixed batch
+    for _ in range(n):
+        yield {
+            "image": mel,
+            "caption": {"ori_caption": ["a dog barks"] * bs,
+                        "struct_caption": ["<dog& all>"] * bs},
+        }
+
+
+def test_trainer_mechanics(tmp_path):
+    """Train step runs, loss/grads finite, params actually move,
+    scale_by_std fires on the first batch (CFM loss itself is stochastic —
+    fresh flow noise per step — so a 30-step loss-decrease assert is flaky;
+    optimization is validated by the overfit test below)."""
+    system = _tiny_system(tmp_path)
+    w0 = np.asarray(system.params["dit"]["blocks"]["attention"]["wq"]["w"]).copy()
+    trainer = Trainer(system, batch_size=8, ckpt_dir=str(tmp_path / "ckpt"),
+                      log_every=1, ckpt_every=0, warm_up_steps=1,
+                      lr_multiplier=10.0)
+    metrics = trainer.fit(_batches(10), max_steps=10)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["grad_norm"] > 0
+    assert metrics["steps_per_sec"] > 0
+    w1 = np.asarray(trainer.state.params["dit"]["blocks"]["attention"]["wq"]["w"])
+    assert np.abs(w1 - w0).max() > 1e-6
+    # scale_by_std fired (ddpm_audio.py:88-103 equivalent)
+    assert abs(float(trainer.state.scale_factor) - 1.0) > 1e-3
+
+
+def test_cfm_overfits_deterministic_velocity():
+    """Pure optimization sanity: with FIXED noise and t, SGD on the CFM MSE
+    must drive the loss down (deterministic regression)."""
+    import optax
+    from maa3_tpu.diffusion import cfm
+    from maa3_tpu.models.dit import dit_apply
+
+    dit_cfg = DiTConfig(in_channels=4, context_dim=8, hidden_size=32,
+                        depth=1, num_heads=4, max_len=32, multiple_of=16)
+    params = dit_init(jax.random.PRNGKey(0), dit_cfg)
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 16))
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 8))
+    t = jnp.array([100, 300, 600, 900])
+    xt, ut = cfm.cfm_interpolate(x1, x0, t / 1000.0)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pred = dit_apply(p, dit_cfg, xt, t, ctx, compute_dtype=jnp.float32)
+            return jnp.mean(jnp.square(pred - ut))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params2, opt_state, loss0 = step(params, opt_state)
+    for _ in range(60):
+        params2, opt_state, loss = step(params2, opt_state)
+    assert float(loss) < float(loss0) * 0.8, (float(loss0), float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    system = _tiny_system(tmp_path)
+    trainer = Trainer(system, batch_size=8, ckpt_dir=str(tmp_path / "ckpt"),
+                      log_every=10, ckpt_every=0)
+    trainer.fit(_batches(3), max_steps=3)
+    path = trainer.save_checkpoint()
+    step_before = int(trainer.state.step)
+    w_before = np.asarray(
+        jax.tree.leaves(trainer.state.params)[0])
+
+    trainer2 = Trainer(_tiny_system(tmp_path), batch_size=8,
+                       ckpt_dir=str(tmp_path / "ckpt2"), ckpt_every=0)
+    trainer2.restore_checkpoint(path)
+    assert int(trainer2.state.step) == step_before
+    w_after = np.asarray(jax.tree.leaves(trainer2.state.params)[0])
+    np.testing.assert_allclose(w_before, w_after)
