@@ -87,6 +87,43 @@ def sample(velocity_fn: VelocityFn, x0: Array, context: Array,
     return x
 
 
+def sample_cfg_inpaint(velocity_fn: VelocityFn, x0: Array, context: Array,
+                       uncond_context: Array, guidance_scale: float,
+                       known: Array, keep_mask: Array, steps: int = 25,
+                       num_timesteps: int = 1000,
+                       sigma_min: float = SIGMA_MIN) -> Array:
+    """Mask-guided CFM inpainting (CFM_inpaint capability,
+    cfm1_audio.py:164-312 / scripts/video2audio_flow_inpaint.py).
+
+    The reference's hybrid conditioning plumbing is broken as shipped (a
+    (video, spec) tuple is fed to a DiT that accepts only a tensor context);
+    this is the mathematically sound latent-space equivalent: after every
+    Euler step, positions with keep_mask=1 are overwritten with the analytic
+    OT path x_t = t*known + (1-(1-s)t)*x0 toward the known latent, so only
+    keep_mask=0 regions are synthesized.
+
+    known: (B, C, T) target latent; keep_mask: broadcastable to x, 1 = keep.
+    """
+    t_grid = euler_t_grid(steps)
+    b = x0.shape[0]
+    ctx_in = jnp.concatenate([uncond_context, context], axis=0)
+    keep = keep_mask.astype(x0.dtype)
+
+    def step(x, t_pair):
+        t, t_next = t_pair
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_int = jnp.full((2 * b,), jnp.floor(t * num_timesteps), jnp.int32)
+        e = velocity_fn(x_in, t_int, ctx_in)
+        e_uc, e_c = jnp.split(e, 2, axis=0)
+        v = e_uc + guidance_scale * (e_c - e_uc)
+        x = x + (t_next - t) * v
+        known_t = t_next * known + (1.0 - (1.0 - sigma_min) * t_next) * x0
+        return keep * known_t + (1.0 - keep) * x, None
+
+    x, _ = jax.lax.scan(step, x0, (t_grid[:-1], t_grid[1:]))
+    return x
+
+
 def sample_cfg(velocity_fn: VelocityFn, x0: Array, context: Array,
                uncond_context: Array, guidance_scale: float,
                steps: int = 25, t_start: Optional[int] = None,
