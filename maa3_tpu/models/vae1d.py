@@ -93,7 +93,6 @@ def _resblock_init(key: Array, in_ch: int, out_ch: int, k: int) -> dict:
         "conv1": conv1d_init(ks[0], in_ch, out_ch, k),
         "norm2": _gn_init(out_ch),
         "conv2": conv1d_init(ks[1], out_ch, out_ch, k),
-        "k": k,
     }
     if in_ch != out_ch:
         p["nin_shortcut"] = conv1d_init(ks[2], in_ch, out_ch, 1)

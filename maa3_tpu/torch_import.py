@@ -165,7 +165,6 @@ def _resblock_t(sd, name):
         "conv1": _conv(sd, name + ".conv1"),
         "norm2": _gn(sd, name + ".norm2"),
         "conv2": _conv(sd, name + ".conv2"),
-        "k": int(_np(sd[name + ".conv1.weight"]).shape[-1]),
     }
     if name + ".nin_shortcut.weight" in sd:
         p["nin_shortcut"] = _conv(sd, name + ".nin_shortcut")

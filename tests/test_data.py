@@ -1,0 +1,129 @@
+"""Data layer tests: collate, bucketed sampler, datasets, structurizer."""
+
+import csv
+import os
+
+import numpy as np
+
+from maa3_tpu.data.datasets import (collate_spec, BucketBatchSampler,
+                                    TextSpecDataset, TestManifestDataset,
+                                    PrefetchLoader, read_tsv)
+from maa3_tpu.data.structurize import natural_to_struct, struct_to_natural
+from maa3_tpu.data.tokenizers import WordPieceTokenizer, HashTokenizer
+
+
+def _write_tsv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+        w.writeheader()
+        w.writerows(rows)
+
+
+def _make_dataset(tmp_path, n=10):
+    rows = []
+    for i in range(n):
+        mel = np.random.RandomState(i).randn(80, 100 + 37 * i).astype(np.float32)
+        mp = str(tmp_path / f"m{i}.npy")
+        np.save(mp, mel)
+        rows.append({"name": f"s{i}", "dataset": "t", "ori_cap": f"cap {i}",
+                     "caption": f"<cap {i}& all>", "audio_path": "x",
+                     "mel_path": mp, "duration": str(1.0 + i)})
+    tsv = str(tmp_path / "m.tsv")
+    _write_tsv(tsv, rows)
+    return tsv
+
+
+def test_collate_spec_pad_and_tile():
+    specs = [np.ones((4, 70)), np.ones((4, 100))]
+    out = collate_spec(specs, mode="pad", pad_value=-5.0, min_len=64,
+                       max_len=1248, min_factor=4)
+    assert out.shape == (2, 4, 100)  # 100 is already mult of 4
+    assert (out[0, :, 70:] == -5.0).all()
+    out_t = collate_spec(specs, mode="tile")
+    assert (out_t[0, :, 70:] == 1.0).all()  # tiled, not padded
+    # clamps to min/max
+    assert collate_spec([np.ones((4, 10))]).shape[-1] == 64
+    assert collate_spec([np.ones((4, 2000))]).shape[-1] == 1248
+    # rounds to multiple of 4
+    assert collate_spec([np.ones((4, 70))]).shape[-1] == 72
+
+
+def test_bucket_sampler_rank_split_and_epoch_shuffle():
+    idx = list(range(100))
+    s0 = BucketBatchSampler(idx, 10, num_replicas=4, rank=0, seed=1)
+    s1 = BucketBatchSampler(idx, 10, num_replicas=4, rank=1, seed=1)
+    b0, b1 = list(s0), list(s1)
+    assert len(b0) == 3 and len(b1) == 3  # 10 batches: ranks 0,1 get 3 each
+    flat0 = {i for b in b0 for i in b}
+    flat1 = {i for b in b1 for i in b}
+    assert not flat0 & flat1  # disjoint across ranks
+    before = [list(b) for b in s0]
+    s0.set_epoch(1)
+    after = [list(b) for b in s0]
+    assert before != after  # epoch-seeded shuffle changes batch order
+
+
+def test_text_spec_dataset_and_loader(tmp_path):
+    tsv = _make_dataset(tmp_path)
+    ds = TextSpecDataset("train", tsv, spec_crop_len=128, drop=0.0)
+    item = ds[0]
+    assert item["image"].shape == (80, 128)  # tiled up from 100
+    assert item["caption"]["ori_caption"] == "cap 0"
+
+    def collate(items):
+        return {"image": np.stack([it["image"] for it in items])}
+
+    sampler = BucketBatchSampler(list(range(len(ds))), 4, shuffle=False)
+    batches = list(PrefetchLoader(ds, sampler, collate))
+    assert len(batches) == 3  # 10 items / bs 4 -> 3 (last partial)
+    assert batches[0]["image"].shape == (4, 80, 128)
+
+
+def test_caption_dropout(tmp_path):
+    tsv = _make_dataset(tmp_path)
+    ds = TextSpecDataset("train", tsv, spec_crop_len=64, drop=1.0)
+    assert ds[0]["caption"]["ori_caption"] == ""
+
+
+def test_test_manifest_name_numbering(tmp_path):
+    rows = [{"name": "a", "dataset": "t", "ori_cap": "x", "caption": "<x& all>",
+             "audio_path": "p", "mel_path": str(tmp_path / "nope.npy"),
+             "duration": "1"} for _ in range(3)]
+    tsv = str(tmp_path / "t.tsv")
+    _write_tsv(tsv, rows)
+    ds = TestManifestDataset(tsv, spec_crop_len=64)
+    names = [ds[i]["f_name"] for i in range(3)]
+    assert names == ["a_0", "a_1", "a_2"]
+    # corrupted mel tolerance: pad_value fill
+    assert (ds[0]["image"] == -5.0).all()
+
+
+def test_structurizer_roundtrip():
+    assert natural_to_struct("a dog barks") == "<a dog barks& all>"
+    assert struct_to_natural("<a dog barks& all>") == "a dog barks"
+    assert struct_to_natural("<rain& start>@<thunder& end>") == "rain, then thunder"
+    assert natural_to_struct("") == ""
+
+
+def test_wordpiece_tokenizer(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "dog", "bark", "##s",
+             "##ing", "."]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    tok = WordPieceTokenizer(str(vp), max_length=10)
+    ids, mask = tok(["A dog barks."])
+    # [CLS] a dog bark ##s . [SEP]
+    assert ids.shape == (1, 10)
+    assert list(ids[0][:7]) == [2, 4, 5, 6, 7, 9, 3]
+    assert mask[0].sum() == 7
+    # unknown word -> [UNK]
+    ids2, _ = tok(["zebra"])
+    assert ids2[0][1] == 1
+
+
+def test_hash_tokenizer_deterministic():
+    tok = HashTokenizer()
+    a1, m1 = tok(["hello world"])
+    a2, _ = tok(["hello world"])
+    np.testing.assert_array_equal(a1, a2)
+    assert m1[0].sum() == 4  # cls + 2 words + sep
