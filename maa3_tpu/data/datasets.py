@@ -73,10 +73,15 @@ def _load_mel(path: str, mel_num: int, fallback_len: int,
 
 
 class TextSpecDataset:
-    """Fixed-length T2A dataset (spec_crop_len crop/tile, caption dropout)."""
+    """Fixed-length T2A dataset (spec_crop_len crop/tile, caption dropout).
+
+    `lazy=True` defers the npy read to `collater`, which batches it through
+    the native C++ loader (maa3_tpu.native) — parallel file I/O off the GIL.
+    """
 
     def __init__(self, split: str, dataset_name: str, spec_crop_len: int = 624,
-                 drop: float = 0.0, mel_num: int = 80, seed: int = 0):
+                 drop: float = 0.0, mel_num: int = 80, seed: int = 0,
+                 lazy: bool = False):
         self.samples = read_tsv(dataset_name)
         if split in ("valid", "test"):
             self.samples = self.samples[:100]
@@ -84,6 +89,8 @@ class TextSpecDataset:
         self.drop = drop
         self.mel_num = mel_num
         self.rng = np.random.RandomState(seed)
+        self.lazy = lazy
+        self._native = None
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -95,11 +102,28 @@ class TextSpecDataset:
                        "struct_caption": data.get("caption", data["ori_cap"])}
         else:
             caption = {"ori_caption": "", "struct_caption": ""}
+        if self.lazy:
+            return {"caption": caption, "mel_path": data["mel_path"]}
         spec = _load_mel(data["mel_path"], self.mel_num, self.crop_len, 0.0)
         if spec.shape[1] < self.crop_len:
             spec = np.tile(spec, math.ceil(self.crop_len / spec.shape[1]))
         spec = spec[:, : self.crop_len]
         return {"caption": caption, "image": spec}
+
+    def collater(self, items: List[dict]) -> dict:
+        caption = {
+            "ori_caption": [it["caption"]["ori_caption"] for it in items],
+            "struct_caption": [it["caption"]["struct_caption"] for it in items],
+        }
+        if self.lazy:
+            if self._native is None:
+                from maa3_tpu.native import NativeLoader
+                self._native = NativeLoader(rows=self.mel_num)
+            image = self._native.load_batch(
+                [it["mel_path"] for it in items], self.crop_len, mode="tile")
+        else:
+            image = np.stack([it["image"] for it in items])
+        return {"image": image, "caption": caption}
 
 
 class AnyLenSpecDataset:

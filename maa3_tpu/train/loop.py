@@ -39,6 +39,15 @@ from maa3_tpu.train.step import TrainState, create_train_state, make_train_step
 Array = jax.Array
 
 
+def _caps_from_batch(raw: dict) -> list:
+    cap = raw.get("caption")
+    if not isinstance(cap, dict):
+        return []
+    return [{"ori_caption": o, "struct_caption": s}
+            for o, s in zip(cap.get("ori_caption", []),
+                            cap.get("struct_caption", []))]
+
+
 class Trainer:
     def __init__(self, system, batch_size: int = 16, lr_multiplier: Optional[float] = None,
                  use_ema: bool = False, ema_decay: float = 0.9999,
@@ -166,7 +175,8 @@ class Trainer:
     # -- the loop ----------------------------------------------------------
 
     def fit(self, loader: Iterator[dict], max_steps: int = 1000,
-            seed: int = 0) -> Dict[str, float]:
+            seed: int = 0, audio_logger=None,
+            sample_captions: Optional[list] = None) -> Dict[str, float]:
         key = jax.random.PRNGKey(seed)
         step0 = int(self.state.step)
         t_start = time.time()
@@ -192,7 +202,20 @@ class Trainer:
                     self._log(last_metrics)
                 if self.ckpt_every and step % self.ckpt_every == 0:
                     self.save_checkpoint()
+                if audio_logger is not None and audio_logger.should_log(step):
+                    self.sync_system_params()
+                    caps = sample_captions or _caps_from_batch(raw)
+                    if caps:
+                        key, sub = jax.random.split(key)
+                        audio_logger.log_samples(self.system, step, caps, sub)
         return last_metrics
+
+    def sync_system_params(self) -> None:
+        """Push the trained params back into the inference system."""
+        self.system.params["dit"] = self.state.params["dit"]
+        if "cond" in self.state.params:
+            self.system.params["cond"] = self.state.params["cond"]
+        self.system.scale_factor = float(self.state.scale_factor)
 
     def _log(self, metrics: Dict[str, float]) -> None:
         print("  ".join(f"{k}={v:.5g}" for k, v in metrics.items()), flush=True)

@@ -52,20 +52,12 @@ def build_loader(cfg: dict, system, batch_size: int, seed: int):
     dcfg = params.get("dataset_cfg", params.get("specs_dataset_cfg", params))
 
     if "txt_spec_dataset" in target or "dataset_name" in dcfg:
+        # lazy=True batches npy reads through the native C++ loader
         ds = TextSpecDataset("train", dcfg["dataset_name"],
                              dcfg.get("spec_crop_len", 624),
-                             dcfg.get("drop", 0.0), seed=seed)
+                             dcfg.get("drop", 0.0), seed=seed, lazy=True)
         indices = list(range(len(ds)))
-
-        def collate(items):
-            return {
-                "image": collate_spec([it["image"] for it in items],
-                                      mode="tile"),
-                "caption": {
-                    "ori_caption": [it["caption"]["ori_caption"] for it in items],
-                    "struct_caption": [it["caption"]["struct_caption"] for it in items],
-                },
-            }
+        collate = ds.collater
     else:
         ds = AnyLenSpecDataset("train", dcfg["main_spec_dir_path"],
                                dcfg.get("other_spec_dir_path", ""),
