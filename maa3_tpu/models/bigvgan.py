@@ -93,13 +93,20 @@ def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
 
 
 def _make_aa(cfg: BigVGANConfig):
-    """Anti-aliased activation closure over params."""
+    """Anti-aliased activation closure over params.
+
+    Uses the fused shift-add polyphase formulation (ops/resample.py
+    FusedActivation1d) — numerically identical to the conv version but the
+    whole up2x -> snake -> down2x collapses into one XLA elementwise fusion
+    (the vocoder's bandwidth hot path)."""
+    from maa3_tpu.ops.resample import FusedActivation1d
     if cfg.activation == "snake":
         def act(p):
-            return Activation1d(lambda x: snake(x, p["alpha"], cfg.snake_logscale))
+            return FusedActivation1d(
+                lambda x: snake(x, p["alpha"], cfg.snake_logscale))
     else:
         def act(p):
-            return Activation1d(
+            return FusedActivation1d(
                 lambda x: snake_beta(x, p["alpha"], p["beta"], cfg.snake_logscale))
     return act
 

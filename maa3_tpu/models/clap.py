@@ -104,6 +104,28 @@ def flan_encode(params: dict, cfg: CLAPFLANConfig, ids: Array,
 
 
 # ---------------------------------------------------------------------------
+# CLIP-visual (+) CLAP-text fusion (scripts/video2audio_flow_CLAP.py:485)
+# ---------------------------------------------------------------------------
+
+def clap_fusion_init(key: Array, visual_dim: int = 512, text_dim: int = 1024,
+                     out_dim: int = 512) -> dict:
+    """Fork experiment: per-frame concat of CLIP visual features with a tiled
+    CLAP text embedding, projected back to the video-feature width."""
+    return {"fuse": dense_init(key, visual_dim + text_dim, out_dim)}
+
+
+def clap_fusion_apply(params: dict, video_feat: Array, text_emb: Array,
+                      compute_dtype=None) -> Array:
+    """video_feat (B, Lv, Dv) + text_emb (B, Dt) -> (B, Lv, out)."""
+    lv = video_feat.shape[1]
+    text_tiled = jnp.broadcast_to(text_emb[:, None, :],
+                                  (text_emb.shape[0], lv, text_emb.shape[-1]))
+    fused = jnp.concatenate([video_feat, text_tiled.astype(video_feat.dtype)],
+                            axis=-1)
+    return dense(params["fuse"], fused, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
 # Video feature conditioner (modules.py:16-27)
 # ---------------------------------------------------------------------------
 

@@ -50,6 +50,9 @@ def parse_args():
     p.add_argument("--inpaint", action="store_true")
     p.add_argument("--mask_ratio", type=float, default=0.5)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--clap_text", type=str, default="",
+                   help="fuse a CLAP text prompt into the visual features "
+                        "(video2audio_flow_CLAP.py fork experiment)")
     return p.parse_args()
 
 
@@ -83,6 +86,29 @@ def main():
     uc_feat = jnp.zeros((1, truncate_frame, 512), jnp.float32)
     uc = system.get_learned_conditioning(uc_feat)
 
+    fuse = None
+    if opt.clap_text:
+        # CLIP-visual + CLAP-text fusion (random-init fusion layer unless a
+        # trained one is in the checkpoint)
+        from maa3_tpu.models import clap as clap_mod
+        from maa3_tpu.models.bert import bert_apply
+        fusion_params = system.params.get("clap_fusion") or clap_mod.clap_fusion_init(
+            jax.random.PRNGKey(opt.seed + 1))
+        ids, mask = system.bert_tokenizer([opt.clap_text])
+        h = bert_apply(system.params["cond"]["bert"], system.clap_cfg.bert,
+                       jnp.asarray(ids), jnp.asarray(mask)) \
+            if "cond" in system.params and "bert" in system.params.get("cond", {}) \
+            else None
+        if h is not None:
+            text_emb = clap_mod.projection_apply(
+                system.params["cond"]["projection"], h)[:, 0, :]
+        else:  # no text tower in a pure-video checkpoint: hashed embedding
+            rng = np.random.RandomState(abs(hash(opt.clap_text)) % (2 ** 31))
+            text_emb = jnp.asarray(rng.randn(1, 1024).astype(np.float32))
+
+        def fuse(feat):
+            return clap_mod.clap_fusion_apply(fusion_params, feat, text_emb)
+
     for fpath in feat_files:
         name = os.path.splitext(os.path.basename(fpath))[0]
         if name == "empty_vid":
@@ -104,7 +130,10 @@ def main():
                 seg = np.concatenate(
                     [seg, np.zeros((truncate_frame - seg.shape[0], seg.shape[1]),
                                    np.float32)])
-            c = system.get_learned_conditioning(seg[None])
+            seg_in = jnp.asarray(seg[None])
+            if fuse is not None:
+                seg_in = fuse(seg_in)
+            c = system.get_learned_conditioning(seg_in)
             key, sub = jax.random.split(key)
             shape = (1, system.spec.mel_dim, latent_len)
             if opt.inpaint and gt_mel is not None:
