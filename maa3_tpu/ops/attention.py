@@ -80,7 +80,7 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
                     x_mask: Optional[Array] = None,
                     y_mask: Optional[Array] = None,
                     n_heads: int = 8, n_kv_heads: Optional[int] = None,
-                    compute_dtype=None) -> Array:
+                    compute_dtype=None, use_flash: bool = False) -> Array:
     """x: (B, L, D); y: (B, Ly, y_dim) context; cos/sin RoPE tables (>=L, hd/2)."""
     b, l, d = x.shape
     n_kv = n_heads if n_kv_heads is None else n_kv_heads
@@ -104,7 +104,14 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
         xk = jnp.repeat(xk, rep, axis=2)
         xv = jnp.repeat(xv, rep, axis=2)
 
-    out = _sdpa(xq, xk, xv, scale, x_mask)
+    if use_flash:
+        # Pallas O(L)-memory kernel — the long-context path (seq >> 1k)
+        from maa3_tpu.ops.flash_attention import flash_attention
+        out = flash_attention(xq.transpose(0, 2, 1, 3), xk.transpose(0, 2, 1, 3),
+                              xv.transpose(0, 2, 1, 3), mask=x_mask,
+                              scale=scale).transpose(0, 2, 1, 3)
+    else:
+        out = _sdpa(xq, xk, xv, scale, x_mask)
 
     if "wk_y" in params and y is not None:  # gated cross-attention
         yk = dense(params["wk_y"], y, compute_dtype)

@@ -199,6 +199,9 @@ class Trainer:
                     last_metrics["step"] = step
                     last_metrics["steps_per_sec"] = (
                         (step - step0) / max(time.time() - t_start, 1e-9))
+                    # CUDACallback peak-mem equivalent
+                    from maa3_tpu.utils.profiling import device_memory_stats
+                    last_metrics.update(device_memory_stats())
                     self._log(last_metrics)
                 if self.ckpt_every and step % self.ckpt_every == 0:
                     self.save_checkpoint()

@@ -1,0 +1,61 @@
+"""Pallas flash attention vs dense softmax reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maa3_tpu.ops.flash_attention import flash_attention
+
+
+def _dense_ref(q, k, v, mask=None, scale=None):
+    import math
+    d = q.shape[-1]
+    scale = scale or 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("l,d", [(128, 64), (200, 72), (312, 24)])
+def test_flash_matches_dense(l, d):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, l, d))
+    k = jax.random.normal(kk, (2, 3, l, d))
+    v = jax.random.normal(kv, (2, 3, l, d))
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    ref = _dense_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_flash_with_padding_mask():
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (2, 2, 64, 32))
+    k = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 96, 32))
+    v = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 96, 32))
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((2, 50)), np.zeros((2, 46))], axis=1).astype(bool))
+    out = flash_attention(q, k, v, mask=mask, interpret=True)
+    ref = _dense_ref(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+    # masked keys must not influence: perturbing them changes nothing
+    v2 = v.at[:, :, 50:, :].set(999.0)
+    out2 = flash_attention(q, k, v2, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_flash_multiblock_online_softmax():
+    """L > block forces the online max/denominator recurrence across blocks."""
+    key = jax.random.PRNGKey(4)
+    q = jax.random.normal(key, (1, 1, 256, 16)) * 3  # large logits
+    k = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 256, 16)) * 3
+    v = jax.random.normal(jax.random.PRNGKey(6), (1, 1, 256, 16))
+    out = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    ref = _dense_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
