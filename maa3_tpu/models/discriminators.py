@@ -230,6 +230,61 @@ def resolution_disc_apply(p: dict, wav: Array, resolution):
     return x.reshape(x.shape[0], -1), fmap
 
 
+# ---------------------------------------------------------------------------
+# Multi-window mel discriminator (ldm/modules/discriminator/multi_window_disc
+# .py:6-197): per-window 3x 2x-downsample conv stacks + linear validity head,
+# run over several random time windows of the mel.
+# ---------------------------------------------------------------------------
+
+def window_disc_init(key: Array, time_length: int, freq_length: int = 80,
+                     hidden: int = 128) -> dict:
+    ks = iter(jax.random.split(key, 8))
+    blocks = []
+    cin = 1
+    for i in range(3):
+        blocks.append({
+            "conv": _conv2d_init(next(ks), cin, hidden, 3, 3),
+            "bn": None if i == 0 else {"weight": jnp.ones((hidden,)),
+                                       "bias": jnp.zeros((hidden,))},
+        })
+        cin = hidden
+    ds_t = time_length // 8
+    ds_f = (freq_length + 7) // 8
+    return {"blocks": blocks,
+            "adv": dense_init(next(ks), hidden * ds_t * ds_f, 1)}
+
+
+def window_disc_apply(p: dict, x: Array) -> Array:
+    """x (B, 1, T, F) -> validity (B, 1)."""
+    for bp in p["blocks"]:
+        x = _conv2d(bp["conv"], x, stride=(2, 2), padding=(1, 1))
+        x = leaky_relu(x)
+        if bp["bn"] is not None:
+            x = _batchnorm_train(bp["bn"], x)
+    x = x.reshape(x.shape[0], -1)
+    from maa3_tpu.ops.basic import dense
+    return dense(p["adv"], x)
+
+
+def multi_window_disc_init(key: Array, time_lengths=(32, 64, 128),
+                           freq_length: int = 80, hidden: int = 128) -> dict:
+    ks = jax.random.split(key, len(time_lengths))
+    return {"discs": [window_disc_init(k, t, freq_length, hidden)
+                      for k, t in zip(ks, time_lengths)]}
+
+
+def multi_window_disc_apply(params: dict, mel: Array, starts,
+                            time_lengths=(32, 64, 128)) -> Array:
+    """mel (B, T, F); starts: per-window start indices (static ints or traced
+    scalars). Returns summed validity (B, 1)."""
+    import jax as _jax
+    total = 0.0
+    for p, tl, s in zip(params["discs"], time_lengths, starts):
+        win = _jax.lax.dynamic_slice_in_dim(mel, s, tl, axis=1)
+        total = total + window_disc_apply(p, win[:, None, :, :])
+    return total
+
+
 DEFAULT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
 
 

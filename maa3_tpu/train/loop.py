@@ -109,6 +109,8 @@ class Trainer:
             conditioner=conditioner, apply_fn=apply_fn))
         self._scale_by_std_done = not self.spec.scale_by_std
         self._metrics_path = os.path.join(self.ckpt_dir, "metrics.jsonl")
+        self._tb = None
+        self._tb_failed = False
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
     # -- conditioning ------------------------------------------------------
@@ -224,6 +226,17 @@ class Trainer:
         print("  ".join(f"{k}={v:.5g}" for k, v in metrics.items()), flush=True)
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(metrics) + "\n")
+        if self._tb is None and not self._tb_failed:
+            try:  # TensorBoard logger (main.py default logger equivalent)
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(self.ckpt_dir, "tb"))
+            except Exception:
+                self._tb_failed = True
+        if self._tb is not None:
+            step = int(metrics.get("step", 0))
+            for k, v in metrics.items():
+                if k != "step":
+                    self._tb.add_scalar(f"train/{k}", v, step)
 
     # -- checkpointing (Orbax) --------------------------------------------
 

@@ -99,6 +99,18 @@ def main():
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 
+    # SIGUSR1 -> checkpoint now (main.py:798-815 melk equivalent)
+    import signal
+
+    def melk(*_):
+        print("SIGUSR1: checkpointing...")
+        trainer.save_checkpoint(tag="usr1")
+
+    try:
+        signal.signal(signal.SIGUSR1, melk)
+    except (ValueError, OSError):
+        pass  # non-main thread / platform without SIGUSR1
+
     loader = build_loader(cfg, system, batch_size, opt.seed)
     metrics = trainer.fit(loader, max_steps=opt.max_steps, seed=opt.seed)
     trainer.save_checkpoint(tag="last")
