@@ -90,6 +90,15 @@ class MAA3System:
                 params["cond"] = {"embedder": {
                     "w": jnp.asarray(parts["cond"]["embedder.0.weight"].T),
                     "b": jnp.asarray(parts["cond"]["embedder.0.bias"])}}
+            if "cond" not in params and init_cond:
+                # ckpt lacks the cond stage (strict=False partial load in the
+                # reference, txt2audio_for_2cap_flow.py:18-40): random init
+                if spec.cond_kind in ("clap_flan", "clap", "flan"):
+                    params["cond"] = clap_mod.clap_flan_init(
+                        k3, clap_mod.CLAPFLANConfig())
+                elif spec.cond_kind.startswith("video_feat"):
+                    params["cond"] = clap_mod.video_feat_encoder_init(
+                        k3, 512, spec.dit.context_dim)
             if parts["scale_factor"] is not None:
                 scale_factor = float(parts["scale_factor"])
         else:
