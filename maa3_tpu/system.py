@@ -137,6 +137,14 @@ class MAA3System:
         return cls(spec, params, voc_cfg, scale_factor,
                    compute_dtype=compute_dtype)
 
+    def cast_weights_bf16(self) -> None:
+        """Inference speed mode: store DiT matmul weights in bf16 (halves the
+        dominant weight-read HBM traffic per ODE step; norms/gates stay fp32).
+        Use fp32 (default) for strict parity with the reference."""
+        from maa3_tpu.utils.nprand import cast_matmul_weights
+        self.params["dit"] = cast_matmul_weights(self.params["dit"],
+                                                 jnp.bfloat16)
+
     # -- conditioning ------------------------------------------------------
 
     def get_learned_conditioning(self, c) -> Array:

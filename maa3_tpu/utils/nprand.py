@@ -25,3 +25,19 @@ def uniform(key, shape, lo: float, hi: float) -> np.ndarray:
 
 def normal(key, shape, std: float = 1.0) -> np.ndarray:
     return (np_rng(key).standard_normal(size=shape) * std).astype(np.float32)
+
+
+def cast_matmul_weights(params, dtype):
+    """Cast large matmul/conv weights ('w' leaves with >=2 dims) to `dtype`
+    for inference: halves weight HBM traffic per ODE step, which is a large
+    share of small-batch DiT latency. Norm scales, biases and gates stay
+    fp32 (numerically sensitive, tiny)."""
+    import jax
+
+    def cast(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        if names and names[-1] == "w" and leaf.ndim >= 2:
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
