@@ -36,6 +36,11 @@ def parse_args():
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel axis size")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pods; "
+                        "coordinator/process env vars per JAX conventions)")
+    p.add_argument("--audio_log_every", type=int, default=0,
+                   help="AudioLogger sample dump interval (0 = off)")
     p.add_argument("overrides", nargs="*", default=[])
     return p.parse_known_args()
 
@@ -83,6 +88,11 @@ def build_loader(cfg: dict, system, batch_size: int, seed: int):
 
 def main():
     opt, _ = parse_args()
+    if opt.multihost:
+        # NCCL init_process_group equivalent (SURVEY §2.5): one process per
+        # host; JAX wires the ICI/DCN topology from the pod environment.
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
     from maa3_tpu import config as config_mod
     from maa3_tpu.system import MAA3System
     from maa3_tpu.train.loop import Trainer
@@ -112,7 +122,13 @@ def main():
         pass  # non-main thread / platform without SIGUSR1
 
     loader = build_loader(cfg, system, batch_size, opt.seed)
-    metrics = trainer.fit(loader, max_steps=opt.max_steps, seed=opt.seed)
+    audio_logger = None
+    if opt.audio_log_every:
+        from maa3_tpu.train.audio_logger import AudioLogger
+        audio_logger = AudioLogger(opt.ckpt_dir,
+                                   every_n_steps=opt.audio_log_every)
+    metrics = trainer.fit(loader, max_steps=opt.max_steps, seed=opt.seed,
+                          audio_logger=audio_logger)
     trainer.save_checkpoint(tag="last")
     print("final:", metrics)
 
