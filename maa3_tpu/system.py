@@ -75,6 +75,12 @@ class MAA3System:
 
         params: dict = {}
         scale_factor = spec.scale_factor
+        if ckpt_path and os.path.isdir(ckpt_path):
+            # our own Orbax training checkpoint (train/loop.py save format)
+            system = cls._from_orbax(spec, ckpt_path, seed, compute_dtype)
+            if vocoder_dir:
+                system._load_vocoder(vocoder_dir)
+            return system
         if ckpt_path:
             sd = torch_import.load_torch_checkpoint(ckpt_path)
             parts = torch_import.split_lightning_ckpt(sd)
@@ -136,6 +142,48 @@ class MAA3System:
 
         return cls(spec, params, voc_cfg, scale_factor,
                    compute_dtype=compute_dtype)
+
+    @classmethod
+    def _from_orbax(cls, spec, ckpt_dir: str, seed: int,
+                    compute_dtype, clap_cfg=None) -> "MAA3System":
+        """Restore {params: {dit, cond?}, scale_factor, ...} saved by
+        Trainer.save_checkpoint; VAE/vocoder come from random init or
+        separate loads (they are frozen during CFM training)."""
+        import orbax.checkpoint as ocp
+        key = jax.random.PRNGKey(seed)
+        _, k2, k3, k4 = jax.random.split(key, 4)
+        with ocp.PyTreeCheckpointer() as ckptr:  # raw restore, no target
+            restored = ckptr.restore(os.path.abspath(ckpt_dir))
+        # prefer EMA weights when present (inference convention)
+        trained = restored.get("ema_params") or restored["params"]
+        params = {"dit": jax.tree.map(jnp.asarray, trained["dit"]),
+                  "vae": vae_init(k2, spec.vae),
+                  "vocoder": bigvgan_init(k4, BigVGANConfig())}
+        if "cond" in trained:
+            params["cond"] = jax.tree.map(jnp.asarray, trained["cond"])
+        elif spec.cond_kind in ("clap_flan", "clap", "flan"):
+            params["cond"] = clap_mod.clap_flan_init(
+                k3, clap_cfg or clap_mod.CLAPFLANConfig())
+        elif spec.cond_kind.startswith("video_feat"):
+            params["cond"] = clap_mod.video_feat_encoder_init(
+                k3, 512, spec.dit.context_dim)
+        return cls(spec, params, BigVGANConfig(),
+                   float(restored.get("scale_factor", spec.scale_factor)),
+                   compute_dtype=compute_dtype, clap_cfg=clap_cfg)
+
+    def _load_vocoder(self, vocoder_dir: str) -> None:
+        cfg_json = os.path.join(vocoder_dir, "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                self.voc_cfg = BigVGANConfig.from_dict(json.load(f))
+        for name in ("generator.pt", "generator.pth", "g_02500000",
+                     "g_02500000.pth", "bigvgan_generator.pt", "best_netG.pt"):
+            p = os.path.join(vocoder_dir, name)
+            if os.path.exists(p):
+                sd = torch_import.load_torch_checkpoint(p)
+                self.params["vocoder"] = torch_import.bigvgan_from_torch(
+                    sd, self.voc_cfg)
+                return
 
     def cast_weights_bf16(self) -> None:
         """Inference speed mode: store DiT matmul weights in bf16 (halves the
