@@ -276,8 +276,16 @@ class MAA3System:
     # -- first stage / vocoder --------------------------------------------
 
     def encode_first_stage(self, mel: Array, key: Optional[Array] = None) -> Array:
-        moments = vae_encode_moments(self.params["vae"], self.spec.vae, mel)
-        return gaussian_sample(moments, key) * self.scale_factor
+        sample = key is not None
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        def run(vae_params, mel, scale, key):
+            moments = vae_encode_moments(vae_params, self.spec.vae, mel)
+            return gaussian_sample(moments, key if sample else None,
+                                   sample=sample) * scale
+
+        return self._jit(("encode", sample), run)(
+            self.params["vae"], mel, jnp.float32(self.scale_factor), key)
 
     def decode_first_stage(self, z: Array) -> Array:
         def run(vae_params, z, scale):

@@ -83,6 +83,13 @@ def main():
     if not feat_files:
         raise SystemExit(f"no .npz features in {opt.feat_dir}")
 
+    # one jitted inpaint ODE shared by all windows/files; params are jit
+    # ARGUMENTS (a closure would bake GBs of weights in as constants)
+    inpaint_fn = jax.jit(
+        lambda dit_params, x0, c, uc, s, known, keep: cfm.sample_cfg_inpaint(
+            system._velocity_fn(dit_params), x0, c, uc, s, known, keep,
+            steps=opt.ddim_steps))
+
     uc_feat = jnp.zeros((1, truncate_frame, 512), jnp.float32)
     uc = system.get_learned_conditioning(uc_feat)
 
@@ -145,11 +152,9 @@ def main():
                 m0 = int(latent_len * 0.25)
                 keep[:, :, m0 : m0 + int(latent_len * opt.mask_ratio)] = 0.0
                 x0 = jax.random.normal(sub, shape)
-                z = jax.jit(cfm.sample_cfg_inpaint, static_argnums=(0,),
-                            static_argnames=("steps",))(
-                    system._velocity_fn(system.params["dit"]), x0, c, uc,
-                    jnp.float32(opt.scale), known, jnp.asarray(keep),
-                    steps=opt.ddim_steps)
+                z = inpaint_fn(system.params["dit"], x0, c, uc,
+                               jnp.float32(opt.scale), known,
+                               jnp.asarray(keep))
             else:
                 z = system.sample_cfg(c, opt.scale, uc, sub, shape=shape,
                                       timesteps=opt.ddim_steps)
