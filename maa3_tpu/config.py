@@ -75,6 +75,12 @@ TARGET_KINDS: Dict[str, str] = {
     "ldm.modules.diffusionmodules.flag_large_dit_moe.VideoFlagLargeDiT": "video_moe_dit",
     # first stage
     "ldm.models.autoencoder1d.AutoencoderKL": "vae1d",
+    "ldm.models.autoencoder.AutoencoderKL": "vae2d",
+    "ldm.models.autoencoder.VQModel": "vq2d",
+    "ldm.models.autoencoder.VQModelInterface": "vq2d",
+    "ldm.models.autoencoder.IdentityFirstStage": "identity",
+    # legacy 2-D UNet backbone
+    "ldm.modules.diffusionmodules.openaimodel.UNetModel": "unet2d",
     # cond stage
     "ldm.modules.encoders.modules.FrozenCLAPFLANEmbedder": "clap_flan",
     "ldm.modules.encoders.modules.FrozenCLAPEmbedder": "clap",

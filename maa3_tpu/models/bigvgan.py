@@ -85,6 +85,8 @@ def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool) -> Array:
 
 
 def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
+    if cfg.activation == "lrelu":  # HiFiGAN: no activation params
+        return {}
     if cfg.activation == "snake":
         init = jnp.zeros if cfg.snake_logscale else jnp.ones
         return {"alpha": init((ch,), jnp.float32)}
@@ -98,9 +100,16 @@ def _make_aa(cfg: BigVGANConfig):
     Uses the fused shift-add polyphase formulation (ops/resample.py
     FusedActivation1d) — numerically identical to the conv version but the
     whole up2x -> snake -> down2x collapses into one XLA elementwise fusion
-    (the vocoder's bandwidth hot path)."""
+    (the vocoder's bandwidth hot path).
+
+    `activation: lrelu` selects the plain HiFiGAN nonlinearity (no
+    anti-aliasing) — the AudioLDM-variant vocoder family
+    (ldm/models/diffusion/audioldm.py HiFiGAN path)."""
     from maa3_tpu.ops.resample import FusedActivation1d
-    if cfg.activation == "snake":
+    if cfg.activation == "lrelu":
+        def act(p):
+            return lambda x: jnp.where(x >= 0, x, 0.1 * x)
+    elif cfg.activation == "snake":
         def act(p):
             return FusedActivation1d(
                 lambda x: snake(x, p["alpha"], cfg.snake_logscale))

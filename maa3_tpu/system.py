@@ -85,8 +85,14 @@ class MAA3System:
             sd = torch_import.load_torch_checkpoint(ckpt_path)
             parts = torch_import.split_lightning_ckpt(sd)
             moe = spec.backbone_kind == "video_moe_dit"
+            dit_sd = parts["dit"]
+            if parts["ema"]:
+                ema_sd = torch_import.remap_ema_state(parts["ema"], dit_sd)
+                if len(ema_sd) == len(dit_sd):
+                    print("using EMA weights from checkpoint")
+                    dit_sd = ema_sd
             params["dit"] = torch_import.dit_from_torch(
-                parts["dit"], depth=spec.dit.depth, qk_norm=spec.dit.qk_norm,
+                dit_sd, depth=spec.dit.depth, qk_norm=spec.dit.qk_norm,
                 moe=moe, num_experts=getattr(spec.dit, "num_experts", 4))
             params["vae"] = torch_import.vae_from_torch(parts["vae"], spec.vae)
             if spec.cond_kind in ("clap_flan", "clap", "flan") and parts["cond"]:

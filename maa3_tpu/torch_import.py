@@ -319,6 +319,21 @@ def clap_flan_from_torch(sd: Dict[str, Array], bert_cfg, t5_cfg) -> dict:
     }
 
 
+def remap_ema_state(ema_sd: Dict[str, Array],
+                    model_sd: Dict[str, Array],
+                    prefix: str = "diffusion_model.") -> Dict[str, Array]:
+    """LitEma stores shadow buffers under the param name with dots REMOVED
+    (ldm/modules/ema.py:16-21: s_name = name.replace('.', '')). Rebuild a
+    normally-named state_dict for the model part so the standard importers
+    can consume EMA weights."""
+    out = {}
+    for k in model_sd:
+        s_name = (prefix + k).replace(".", "")
+        if s_name in ema_sd:
+            out[k] = ema_sd[s_name]
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """torch.load a .ckpt/.pt file into numpy state_dict (CPU, lazy torch import)."""
     import torch

@@ -107,3 +107,19 @@ def test_bigvgan_generator_shape():
     assert wav.shape == (2, 20 * 8)
     arr = np.asarray(wav)
     assert np.isfinite(arr).all() and (np.abs(arr) <= 1.0).all()
+
+
+def test_hifigan_lrelu_variant():
+    """activation=lrelu selects the HiFiGAN family (AudioLDM's vocoder)."""
+    cfg = BigVGANConfig(num_mels=8, upsample_rates=(4, 2),
+                        upsample_kernel_sizes=(8, 4),
+                        upsample_initial_channel=16,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3, 5),),
+                        activation="lrelu")
+    params = bigvgan_init(jax.random.PRNGKey(0), cfg)
+    assert params["resblocks"][0]["acts"][0] == {}  # no snake params
+    wav = bigvgan_apply(params, cfg, jax.random.normal(jax.random.PRNGKey(1),
+                                                       (1, 8, 12)))
+    assert wav.shape == (1, 12 * 8)
+    assert np.isfinite(np.asarray(wav)).all()

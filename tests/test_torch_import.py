@@ -350,3 +350,16 @@ def test_fold_weight_norm():
     folded = fold_weight_norm(g, v)
     np.testing.assert_allclose(folded, wn.weight.detach().numpy(), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_remap_ema_state():
+    from maa3_tpu.torch_import import remap_ema_state
+    model_sd = {"blocks.0.attention.wq.weight": np.zeros(2),
+                "proj_in.weight": np.zeros(3)}
+    ema_sd = {"diffusion_modelblocks0attentionwqweight": np.ones(2),
+              "diffusion_modelproj_inweight": np.full(3, 2.0),
+              "decay": np.zeros(1), "num_updates": np.zeros(1)}
+    out = remap_ema_state(ema_sd, model_sd)
+    assert set(out) == set(model_sd)
+    np.testing.assert_allclose(out["blocks.0.attention.wq.weight"], 1.0)
+    np.testing.assert_allclose(out["proj_in.weight"], 2.0)
