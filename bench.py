@@ -10,13 +10,18 @@ the north star).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maa3_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
 
 from maa3_tpu.models.dit import DiTConfig
 from maa3_tpu.models.vae1d import VAEConfig

@@ -21,6 +21,10 @@ import jax
 if os.environ.get("MAA3_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
 
+from maa3_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 
 def parse_args():
     p = argparse.ArgumentParser()

@@ -22,6 +22,10 @@ if os.environ.get("MAA3_PLATFORM"):
     # the axon sitecustomize overrides JAX_PLATFORMS; this is the off switch
     jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
 
+from maa3_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 
 

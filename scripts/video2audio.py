@@ -25,6 +25,10 @@ import jax
 if os.environ.get("MAA3_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
 
+from maa3_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 
 

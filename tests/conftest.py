@@ -17,7 +17,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeat suite runs skip most XLA compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/maa3_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no persistent compilation cache for CPU tests — the cached CPU AOT
+# executables carry compile-machine feature sets that can mismatch the host
+# (cpu_aot_loader warns about possible SIGILL). The TPU bench/CLIs do use the
+# cache (maa3_tpu.utils.enable_compile_cache).

@@ -67,3 +67,34 @@ def test_bf16_weight_cast_close_to_fp32():
     out = dit_apply(p16, CFG, x, t, ctx, compute_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.05,
                                atol=0.05)
+
+
+def test_system_sample_uncond_path():
+    """MAA3System.sample (no CFG; CFM.sample equivalent) runs and differs
+    from sample_cfg at scale>1."""
+    from maa3_tpu.config import ModelSpec
+    from maa3_tpu.models.vae1d import VAEConfig, vae_init
+    from maa3_tpu.system import MAA3System
+
+    spec = ModelSpec(kind="cfm", backbone_kind="text_dit", dit=CFG,
+                     vae=VAEConfig(in_channels=8, out_ch=8, ch=32,
+                                   ch_mult=(1, 2), num_res_blocks=1,
+                                   down_layers=(0,), kernel_size=5,
+                                   z_channels=4, embed_dim=4),
+                     cond_kind="clap_flan", cond_params_cfg={},
+                     mel_dim=4, mel_length=16)
+    key = jax.random.PRNGKey(0)
+    dit_params = _nonzero_params(key)
+    # at init the model is provably context-free: adaLN gates AND cross-attn
+    # gates are zero-init. Un-zero both so conditioning flows.
+    dit_params["blocks"]["attention"]["gate"] = jnp.ones_like(
+        dit_params["blocks"]["attention"]["gate"])
+    dit_params["blocks"]["adaLN"]["w"] = 0.1 * jax.random.normal(
+        key, dit_params["blocks"]["adaLN"]["w"].shape)
+    params = {"dit": dit_params, "vae": vae_init(key, spec.vae)}
+    system = MAA3System(spec, params, compute_dtype=jnp.float32)
+    ctx = jax.random.normal(key, (2, 5, 16))
+    z = system.sample(ctx, key, timesteps=4)
+    assert z.shape == (2, 4, 16)
+    z_cfg = system.sample_cfg(ctx, 3.0, jnp.zeros_like(ctx), key, timesteps=4)
+    assert float(jnp.abs(z - z_cfg).max()) > 1e-5
