@@ -64,11 +64,32 @@ def main():
     times.sort()
     p50 = times[len(times) // 2]
 
+    # batched throughput: secs-of-audio generated per wall-second per chip
+    bsz = 8
+    ctx_b = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
+    uc_b = jnp.zeros_like(ctx_b)
+
+    def run_b(k):
+        _, _, wav = pipe.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
+                                  guidance_scale=5.0, steps=STEPS)
+        return wav
+
+    run_b(key).block_until_ready()
+    tb = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_b(jax.random.PRNGKey(100 + i)).block_until_ready()
+        tb.append(time.perf_counter() - t0)
+    tb.sort()
+    throughput = bsz * 10.0 / tb[len(tb) // 2]
+
     print(json.dumps({
         "metric": "t2a_xl_10s_latency_p50",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(NORTH_STAR_S / p50, 3),
+        "throughput_secs_audio_per_sec_chip": round(throughput, 1),
+        "throughput_batch": bsz,
     }))
 
 

@@ -111,6 +111,7 @@ class Trainer:
         self._metrics_path = os.path.join(self.ckpt_dir, "metrics.jsonl")
         self._tb = None
         self._tb_failed = False
+        self._eval_step = None
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
     # -- conditioning ------------------------------------------------------
@@ -240,7 +241,11 @@ class Trainer:
 
     # -- checkpointing (Orbax) --------------------------------------------
 
-    def save_checkpoint(self, tag: Optional[str] = None) -> str:
+    def save_checkpoint(self, tag: Optional[str] = None,
+                        keep_last_k: int = 10) -> str:
+        """Orbax save + rotation (ModelCheckpoint save_top_k equivalent,
+        main.py:659-679: periodic checkpoints keep the newest k; tagged
+        saves — last/crash/usr1 — are never rotated)."""
         import orbax.checkpoint as ocp
         step = int(self.state.step)
         name = tag or f"step_{step:08d}"
@@ -254,7 +259,45 @@ class Trainer:
             payload["ema_params"] = self.state.ema_params
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+        if tag is None and keep_last_k > 0:
+            import shutil
+            steps = sorted(d for d in os.listdir(self.ckpt_dir)
+                           if d.startswith("step_"))
+            for old in steps[:-keep_last_k]:
+                shutil.rmtree(os.path.join(self.ckpt_dir, old),
+                              ignore_errors=True)
         return path
+
+    # -- validation (val loss logging, ddpm.py:344-367 sync_dist role) -----
+
+    def evaluate(self, loader: Iterator[dict], max_batches: int = 50,
+                 seed: int = 0) -> Dict[str, float]:
+        """Mean CFM val loss over up to max_batches (no grad, no update)."""
+        if self._eval_step is None:
+            conditioner = self._make_conditioner()
+            apply_fn = None
+            if self.spec.backbone_kind == "video_moe_dit":
+                dit_cfg = self.spec.dit
+                apply_fn = (lambda p, x, t, c:
+                            moe_dit_apply(p, dit_cfg, x, t, c))
+            from maa3_tpu.train.step import make_eval_step
+            self._eval_step = jax.jit(make_eval_step(
+                self.spec.dit, self.spec.vae,
+                num_timesteps=self.spec.timesteps,
+                conditioner=conditioner, apply_fn=apply_fn))
+        key = jax.random.PRNGKey(seed)
+        losses = []
+        with jax.set_mesh(self.mesh):
+            for i, raw in enumerate(loader):
+                if i >= max_batches:
+                    break
+                batch = self.prepare_batch(raw)
+                key, sub = jax.random.split(key)
+                losses.append(float(self._eval_step(self.state, batch, sub)))
+        metrics = {"val/loss_simple": float(np.mean(losses)) if losses else float("nan"),
+                   "val/batches": float(len(losses))}
+        self._log(metrics | {"step": int(self.state.step)})
+        return metrics
 
     def restore_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp

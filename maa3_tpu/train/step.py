@@ -94,3 +94,25 @@ def make_train_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig, optimizer,
                               opt_state=opt_state, ema_params=ema_params), metrics
 
     return train_step
+
+
+def make_eval_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig,
+                   num_timesteps: int = 1000, compute_dtype=jnp.bfloat16,
+                   conditioner=None, apply_fn=None):
+    """Validation loss (the reference's val `loss_simple` logging,
+    ddpm.py:360-367): same CFM objective, no gradient/update."""
+    backbone = apply_fn or (lambda p, x, t, c: dit_apply(p, dit_cfg, x, t, c,
+                                                         compute_dtype=compute_dtype))
+
+    def eval_step(state: TrainState, batch: dict, key: Array):
+        kvae, kcfm = jax.random.split(key)
+        moments = vae_encode_moments(state.frozen["vae"], vae_cfg, batch["mel"])
+        z = gaussian_sample(moments, kvae) * state.scale_factor
+        context = (conditioner(state.params, batch) if conditioner is not None
+                   else batch["context"])
+        loss, _ = cfm.cfm_loss(
+            lambda x, t, c: backbone(state.params["dit"], x, t, c),
+            z, context, kcfm, num_timesteps=num_timesteps)
+        return loss
+
+    return eval_step

@@ -128,3 +128,21 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(trainer2.state.step) == step_before
     w_after = np.asarray(jax.tree.leaves(trainer2.state.params)[0])
     np.testing.assert_allclose(w_before, w_after)
+
+
+def test_trainer_evaluate_and_ckpt_rotation(tmp_path):
+    system = _tiny_system(tmp_path)
+    trainer = Trainer(system, batch_size=8, ckpt_dir=str(tmp_path / "ckpt"),
+                      log_every=10, ckpt_every=0)
+    trainer.fit(_batches(2), max_steps=2)
+    metrics = trainer.evaluate(_batches(3), max_batches=3)
+    assert np.isfinite(metrics["val/loss_simple"])
+    assert metrics["val/batches"] == 3
+
+    # rotation: keep only the newest 2 periodic checkpoints
+    import os
+    for _ in range(4):
+        trainer.fit(_batches(1), max_steps=1)
+        trainer.save_checkpoint(keep_last_k=2)
+    steps = [d for d in os.listdir(tmp_path / "ckpt") if d.startswith("step_")]
+    assert len(steps) == 2
