@@ -45,32 +45,38 @@ def parse_args():
                         "coordinator/process env vars per JAX conventions)")
     p.add_argument("--audio_log_every", type=int, default=0,
                    help="AudioLogger sample dump interval (0 = off)")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="validation interval in steps (0 = off)")
+    p.add_argument("--val_batches", type=int, default=20)
     p.add_argument("overrides", nargs="*", default=[])
     return p.parse_known_args()
 
 
-def build_loader(cfg: dict, system, batch_size: int, seed: int):
+def build_loader(cfg: dict, system, batch_size: int, seed: int,
+                 split: str = "train"):
     """Map the config's data subtree onto our dataset classes."""
     from maa3_tpu.data.datasets import (TextSpecDataset, AnyLenSpecDataset,
                                         BucketBatchSampler, PrefetchLoader,
                                         collate_spec)
     data = cfg.get("data", {}).get("params", {})
-    train = data.get("train", {})
+    train = data.get(split if split in data else "train", {})
     target = train.get("target", "")
     params = train.get("params", {})
     dcfg = params.get("dataset_cfg", params.get("specs_dataset_cfg", params))
 
+    ds_split = "train" if split == "train" else "valid"
     if "txt_spec_dataset" in target or "dataset_name" in dcfg:
         # lazy=True batches npy reads through the native C++ loader
-        ds = TextSpecDataset("train", dcfg["dataset_name"],
+        ds = TextSpecDataset(ds_split, dcfg["dataset_name"],
                              dcfg.get("spec_crop_len", 624),
-                             dcfg.get("drop", 0.0), seed=seed, lazy=True)
+                             dcfg.get("drop", 0.0) if ds_split == "train" else 0.0,
+                             seed=seed, lazy=True)
         indices = list(range(len(ds)))
         collate = ds.collater
     else:
-        ds = AnyLenSpecDataset("train", dcfg["main_spec_dir_path"],
+        ds = AnyLenSpecDataset(ds_split, dcfg["main_spec_dir_path"],
                                dcfg.get("other_spec_dir_path", ""),
-                               drop=dcfg.get("drop", 0.0),
+                               drop=dcfg.get("drop", 0.0) if ds_split == "train" else 0.0,
                                spec_crop_len=dcfg.get("spec_crop_len", 1248),
                                seed=seed)
         indices = ds.ordered_indices()
@@ -131,8 +137,20 @@ def main():
         from maa3_tpu.train.audio_logger import AudioLogger
         audio_logger = AudioLogger(opt.ckpt_dir,
                                    every_n_steps=opt.audio_log_every)
-    metrics = trainer.fit(loader, max_steps=opt.max_steps, seed=opt.seed,
-                          audio_logger=audio_logger)
+    if opt.val_every:
+        # interleave fit/evaluate in val_every-sized chunks
+        done = 0
+        while done < opt.max_steps:
+            chunk = min(opt.val_every, opt.max_steps - done)
+            metrics = trainer.fit(loader, max_steps=chunk, seed=opt.seed,
+                                  audio_logger=audio_logger)
+            done += chunk
+            val_loader = build_loader(cfg, system, batch_size, opt.seed,
+                                      split="validation")
+            trainer.evaluate(val_loader, max_batches=opt.val_batches)
+    else:
+        metrics = trainer.fit(loader, max_steps=opt.max_steps, seed=opt.seed,
+                              audio_logger=audio_logger)
     trainer.save_checkpoint(tag="last")
     print("final:", metrics)
 
