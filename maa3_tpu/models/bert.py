@@ -115,11 +115,14 @@ def bert_apply(params: dict, cfg: BertConfig, input_ids: Array,
 def bert_from_torch(sd: dict, cfg: BertConfig, prefix: str = "") -> dict:
     """Map a HF BertModel state_dict (numpy arrays) into our pytree."""
 
+    from maa3_tpu.torch_import import _np
+
     def g(name):
-        return jnp.asarray(sd[prefix + name])
+        return _np(sd[prefix + name])  # tracer-aware (eval_shape imports)
 
     def lin(name):
-        return {"w": g(name + ".weight").T, "b": g(name + ".bias")}
+        # raw (out, in); transposed on-device by finalize_linear_tree
+        return {"w": g(name + ".weight"), "b": g(name + ".bias")}
 
     emb = {
         "word": g("embeddings.word_embeddings.weight"),
@@ -143,4 +146,5 @@ def bert_from_torch(sd: dict, cfg: BertConfig, prefix: str = "") -> dict:
             "ff_ln": {"weight": g(p + "output.LayerNorm.weight"),
                       "bias": g(p + "output.LayerNorm.bias")},
         })
-    return {"embeddings": emb, "layers": layers}
+    from maa3_tpu.torch_import import finalize_linear_tree
+    return finalize_linear_tree({"embeddings": emb, "layers": layers})

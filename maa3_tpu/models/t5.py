@@ -146,11 +146,14 @@ def t5_apply(params: dict, cfg: T5Config, input_ids: Array,
 # ---------------------------------------------------------------------------
 
 def t5_from_torch(sd: dict, cfg: T5Config, prefix: str = "") -> dict:
+    from maa3_tpu.torch_import import _np
+
     def g(name):
-        return jnp.asarray(sd[prefix + name])
+        return _np(sd[prefix + name])  # tracer-aware (eval_shape imports)
 
     def lin(name):
-        return {"w": g(name + ".weight").T}
+        # raw (out, in); transposed on-device by finalize_linear_tree
+        return {"w": g(name + ".weight")}
 
     p: dict = {
         "shared": g("shared.weight"),
@@ -177,4 +180,5 @@ def t5_from_torch(sd: dict, cfg: T5Config, prefix: str = "") -> dict:
             lp["wi"] = lin(pre + "1.DenseReluDense.wi")
         layers.append(lp)
     p["layers"] = layers
-    return p
+    from maa3_tpu.torch_import import finalize_linear_tree
+    return finalize_linear_tree(p)

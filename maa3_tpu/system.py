@@ -95,9 +95,23 @@ class MAA3System:
                 dit_sd, depth=spec.dit.depth, qk_norm=spec.dit.qk_norm,
                 moe=moe, num_experts=getattr(spec.dit, "num_experts", 4))
             params["vae"] = torch_import.vae_from_torch(parts["vae"], spec.vae)
-            if spec.cond_kind in ("clap_flan", "clap", "flan") and parts["cond"]:
+            if spec.cond_kind == "clap_flan" and parts["cond"]:
                 params["cond"] = torch_import.clap_flan_from_torch(
                     parts["cond"], BertConfig(), T5Config())
+            elif spec.cond_kind == "flan" and parts["cond"]:
+                # FrozenFLANEmbedder stores its T5 under `transformer.`
+                # (modules.py:66), not `t5_transformer.`
+                from maa3_tpu.models.t5 import t5_from_torch
+                params["cond"] = {"t5": t5_from_torch(
+                    parts["cond"], T5Config(), prefix="transformer.")}
+            elif spec.cond_kind == "clap" and parts["cond"]:
+                from maa3_tpu.models.bert import bert_from_torch
+                from maa3_tpu.models.clap import projection_from_torch
+                params["cond"] = {
+                    "bert": bert_from_torch(parts["cond"], BertConfig(),
+                                            prefix="caption_encoder.base."),
+                    "projection": projection_from_torch(
+                        parts["cond"], prefix="caption_encoder.projection.")}
             elif spec.cond_kind.startswith("video_feat") and parts["cond"]:
                 params["cond"] = {"embedder": {
                     "w": jnp.asarray(parts["cond"]["embedder.0.weight"].T),

@@ -28,6 +28,8 @@ Array = np.ndarray
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
+    if hasattr(x, "aval"):  # jax tracer: pass through so the importers can
+        return x            # run under jax.eval_shape (shape-only imports)
     return np.asarray(x)
 
 
@@ -53,14 +55,32 @@ def split_lightning_ckpt(state_dict: Dict[str, Array]) -> Dict[str, Dict[str, Ar
 # ---------------------------------------------------------------------------
 
 def _lin(sd, name, bias=True):
-    p = {"w": jnp.asarray(_np(sd[name + ".weight"]).T)}
+    # Raw torch (out, in) layout kept on host; the (in, out) transpose happens
+    # on-device in finalize_linear_tree. numpy's strided transpose-copy runs
+    # at ~25 MB/s on this host (TLB-miss bound) vs GB/s for XLA's blocked
+    # transpose — a full-size XL import dropped from ~3 min to seconds.
+    p = {"w": _np(sd[name + ".weight"])}
     if bias and name + ".bias" in sd:
-        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
+        p["b"] = _np(sd[name + ".bias"])
     return p
 
 
+def finalize_linear_tree(params):
+    """jnp-convert a host tree, transposing the last two dims of every dict
+    leaf named "w" (linear weights stored torch-side as (..., out, in))."""
+    import jax
+
+    def conv(path, x):
+        arr = jnp.asarray(x)
+        if getattr(path[-1], "key", None) == "w" and arr.ndim >= 2:
+            arr = jnp.swapaxes(arr, -1, -2)
+        return arr
+
+    return jax.tree_util.tree_map_with_path(conv, params)
+
+
 def _norm_w(sd, name):
-    return {"weight": jnp.asarray(_np(sd[name + ".weight"]))}
+    return {"weight": _np(sd[name + ".weight"])}
 
 
 def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
@@ -77,13 +97,13 @@ def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
             "wo": _lin(sd, b + "attention.wo", bias=False),
             "wk_y": _lin(sd, b + "attention.wk_y", bias=False),
             "wv_y": _lin(sd, b + "attention.wv_y", bias=False),
-            "gate": jnp.asarray(_np(sd[b + "attention.gate"])),
+            "gate": _np(sd[b + "attention.gate"]),
         }
         if qk_norm:
             for nm in ("q_norm", "k_norm", "ky_norm"):
                 attn[nm] = {
-                    "weight": jnp.asarray(_np(sd[b + f"attention.{nm}.weight"])),
-                    "bias": jnp.asarray(_np(sd[b + f"attention.{nm}.bias"])),
+                    "weight": _np(sd[b + f"attention.{nm}.weight"]),
+                    "bias": _np(sd[b + f"attention.{nm}.bias"]),
                 }
         if moe:
             ff = {
@@ -96,11 +116,10 @@ def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
                      for k in ("w1", "w2", "w3")}
                     for e in range(num_experts)],
             }
-            # stack experts: (E, in, out)
-            ff = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *ff["time_experts"]), jax.tree.map(
-                                  lambda *xs: jnp.stack(xs), *ff["freq_experts"])
-            ff = {"time_experts": ff[0], "freq_experts": ff[1]}
+            # stack experts on-device: (E, out, in)
+            _st = lambda *xs: jnp.stack([jnp.asarray(x) for x in xs])
+            ff = {"time_experts": jax.tree.map(_st, *ff["time_experts"]),
+                  "freq_experts": jax.tree.map(_st, *ff["freq_experts"])}
         else:
             ff = {k: _lin(sd, b + f"feed_forward.{k}", bias=False)
                   for k in ("w1", "w2", "w3")}
@@ -114,7 +133,10 @@ def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
         }
 
     blocks = [block(i) for i in range(depth)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    # stack on-device: XLA recycles arena buffers, and host np.stack pays
+    # first-touch page-fault cost (~25 s/GB on firecracker VMs) per leaf
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                           *blocks)
 
     params = {
         "proj_in": _lin(sd, "proj_in"),
@@ -123,8 +145,8 @@ def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
             "mlp2": _lin(sd, "t_embedder.mlp.2"),
         },
         "cap_embedder": {
-            "norm": {"weight": jnp.asarray(_np(sd["cap_embedder.0.weight"])),
-                     "bias": jnp.asarray(_np(sd["cap_embedder.0.bias"]))},
+            "norm": {"weight": _np(sd["cap_embedder.0.weight"]),
+                     "bias": _np(sd["cap_embedder.0.bias"])},
             "linear": _lin(sd, "cap_embedder.1"),
         },
         "blocks": stacked,
@@ -137,10 +159,10 @@ def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
         params["c_embedder"] = {
             "mlp0": _lin(sd, "c_embedder.mlp.0"),
             "mlp2": _lin(sd, "c_embedder.mlp.2"),
-            "ln": {"weight": jnp.asarray(_np(sd["c_embedder.mlp.3.weight"])),
-                   "bias": jnp.asarray(_np(sd["c_embedder.mlp.3.bias"]))},
+            "ln": {"weight": _np(sd["c_embedder.mlp.3.weight"]),
+                   "bias": _np(sd["c_embedder.mlp.3.bias"])},
         }
-    return params
+    return finalize_linear_tree(params)
 
 
 # ---------------------------------------------------------------------------
@@ -148,15 +170,15 @@ def dit_from_torch(sd: Dict[str, Array], depth: int, qk_norm: bool = False,
 # ---------------------------------------------------------------------------
 
 def _conv(sd, name):
-    p = {"w": jnp.asarray(_np(sd[name + ".weight"]))}
+    p = {"w": _np(sd[name + ".weight"])}
     if name + ".bias" in sd:
-        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
+        p["b"] = _np(sd[name + ".bias"])
     return p
 
 
 def _gn(sd, name):
-    return {"weight": jnp.asarray(_np(sd[name + ".weight"])),
-            "bias": jnp.asarray(_np(sd[name + ".bias"]))}
+    return {"weight": _np(sd[name + ".weight"]),
+            "bias": _np(sd[name + ".bias"])}
 
 
 def _resblock_t(sd, name):
@@ -229,12 +251,13 @@ def vae_from_torch(sd: Dict[str, Array], cfg) -> dict:
     dec["norm_out"] = _gn(sd, "decoder.norm_out")
     dec["conv_out"] = _conv(sd, "decoder.conv_out")
 
-    return {
+    import jax
+    return jax.tree.map(jnp.asarray, {
         "encoder": enc,
         "decoder": dec,
         "quant_conv": _conv(sd, "quant_conv"),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -258,9 +281,9 @@ def _wn_conv(sd, name):
                              _np(sd[name + ".parametrizations.weight.original1"]))
     else:
         w = _np(sd[name + ".weight"])
-    p = {"w": jnp.asarray(w)}
+    p = {"w": np.asarray(w)}
     if name + ".bias" in sd:
-        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
+        p["b"] = _np(sd[name + ".bias"])
     return p
 
 
@@ -287,20 +310,19 @@ def bigvgan_from_torch(sd: Dict[str, Array], cfg) -> dict:
                   "acts": []}
             n_acts = 2
         for j in range(n_acts):
-            act = {"alpha": jnp.asarray(
-                _np(sd[base + f"activations.{j}.act.alpha"]))}
+            act = {"alpha": _np(sd[base + f"activations.{j}.act.alpha"])}
             if base + f"activations.{j}.act.beta" in sd:
-                act["beta"] = jnp.asarray(
-                    _np(sd[base + f"activations.{j}.act.beta"]))
+                act["beta"] = _np(sd[base + f"activations.{j}.act.beta"])
             rb["acts"].append(act)
         resblocks.append(rb)
     p["resblocks"] = resblocks
-    post = {"alpha": jnp.asarray(_np(sd["activation_post.act.alpha"]))}
+    post = {"alpha": _np(sd["activation_post.act.alpha"])}
     if "activation_post.act.beta" in sd:
-        post["beta"] = jnp.asarray(_np(sd["activation_post.act.beta"]))
+        post["beta"] = _np(sd["activation_post.act.beta"])
     p["activation_post"] = post
     p["conv_post"] = _wn_conv(sd, "conv_post")
-    return p
+    import jax
+    return jax.tree.map(jnp.asarray, p)
 
 
 # ---------------------------------------------------------------------------

@@ -54,16 +54,25 @@ FIXDIR = os.path.join(HERE, "fixtures")
 REPO = os.path.dirname(HERE)
 
 
+def _module(name):
+    """Stub module with a valid __spec__ (importlib.util.find_spec — used by
+    transformers' optional-dependency probing — raises on spec-less modules)."""
+    import importlib.machinery
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def install_stubs():
     # flash_attn: imported at module top; never called on fp32 inputs
-    fa = types.ModuleType("flash_attn")
+    fa = _module("flash_attn")
 
     def _no_flash(*a, **k):
         raise RuntimeError("flash_attn stub called — fp32 should use SDPA")
 
     fa.flash_attn_func = _no_flash
     fa.flash_attn_varlen_func = _no_flash
-    bp = types.ModuleType("flash_attn.bert_padding")
+    bp = _module("flash_attn.bert_padding")
     bp.index_first_axis = _no_flash
     bp.pad_input = _no_flash
     bp.unpad_input = _no_flash
@@ -73,12 +82,12 @@ def install_stubs():
 
     # pytorch_lightning: AutoencoderKL subclasses pl.LightningModule but uses
     # no PL machinery on the encode/decode path
-    pl = types.ModuleType("pytorch_lightning")
+    pl = _module("pytorch_lightning")
     pl.LightningModule = nn.Module
     sys.modules["pytorch_lightning"] = pl
 
     # omegaconf: imported at top of vocoder/bigvgan/models.py, unused by BigVGAN
-    oc = types.ModuleType("omegaconf")
+    oc = _module("omegaconf")
 
     class _OmegaConf:
         pass
@@ -90,8 +99,8 @@ def install_stubs():
     sys.path.insert(0, REPO)
     from maa3_tpu.ops.stft import mel_filterbank
 
-    lr = types.ModuleType("librosa")
-    lf = types.ModuleType("librosa.filters")
+    lr = _module("librosa")
+    lf = _module("librosa.filters")
 
     def _mel(sr, n_fft, n_mels, fmin, fmax):
         return np.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax),
