@@ -143,6 +143,7 @@ def _dit_cfg_from(params: dict, backbone_kind: str):
         qk_norm=bool(params.get("qk_norm") or False),
         rope_scaling_factor=params.get("rope_scaling_factor", 1.0),
         ntk_factor=params.get("ntk_factor", 1.0),
+        use_flash=params.get("use_flash"),
     )
     if backbone_kind == "video_moe_dit":
         return MoEDiTConfig(num_experts=params.get("num_experts", 4), **common)

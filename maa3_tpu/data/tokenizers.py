@@ -152,6 +152,28 @@ class HashTokenizer:
         return np.array(batch_ids, np.int32), np.array(batch_mask, np.int32)
 
 
+_warned_hash_fallback = False
+
+
+def _warn_hash_fallback(kind: str, path_or_dir: Optional[str]) -> None:
+    """Hash tokenization silently producing garbage conditioning was the
+    round-1 footgun: make it loud (once), but stay quiet under pytest."""
+    global _warned_hash_fallback
+    if _warned_hash_fallback or "PYTEST_CURRENT_TEST" in os.environ:
+        return
+    _warned_hash_fallback = True
+    import sys
+    print(
+        f"\n{'!' * 72}\n"
+        f"WARNING: no real {kind} tokenizer assets found"
+        f"{f' under {path_or_dir!r}' if path_or_dir else ''} — falling back\n"
+        f"to a hash tokenizer. Token ids will NOT match the trained model:\n"
+        f"text conditioning will be garbage. Point MAA3_TOKENIZER_DIR (or\n"
+        f"--tokenizer_dir) at a directory with bert/vocab.txt and\n"
+        f"t5/tokenizer.json (from bert-base-uncased / t5-v1_1-large).\n"
+        f"{'!' * 72}\n", file=sys.stderr)
+
+
 def load_tokenizer(path_or_dir: Optional[str], kind: str = "bert",
                    max_length: int = 77):
     """Best local asset wins: tokenizer.json > vocab.txt > hash fallback."""
@@ -164,4 +186,5 @@ def load_tokenizer(path_or_dir: Optional[str], kind: str = "bert",
         vt = os.path.join(path_or_dir, "vocab.txt")
         if os.path.isfile(vt):
             return WordPieceTokenizer(vt, max_length)
+    _warn_hash_fallback(kind, path_or_dir)
     return HashTokenizer(max_length=max_length)

@@ -54,10 +54,18 @@ class DiTConfig:
     qk_norm: bool = False
     rope_scaling_factor: float = 1.0
     ntk_factor: float = 1.0
+    # Pallas flash-attention: None = auto (kernel when seq > 1024, where the
+    # O(L^2) score matrix starts to dominate VMEM); True/False = force
+    use_flash: "Optional[bool]" = None
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    def flash_for_len(self, seq_len: int) -> bool:
+        if self.use_flash is not None:
+            return self.use_flash
+        return seq_len > 1024
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +130,7 @@ def _block_apply(p: dict, cfg: DiTConfig, x: Array, cos: Array, sin: Array,
         x_mask=x_mask, y_mask=y_mask,
         n_heads=cfg.num_heads, n_kv_heads=cfg.n_kv_heads,
         compute_dtype=compute_dtype,
+        use_flash=cfg.flash_for_len(x.shape[1]),
     )
     h = x + gate_msa[:, None, :].astype(x.dtype) * h_attn
 

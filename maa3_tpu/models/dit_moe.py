@@ -57,10 +57,16 @@ class MoEDiTConfig:
     ntk_factor: float = 1.0
     num_experts: int = 4
     num_timesteps: int = 1000
+    use_flash: "Optional[bool]" = None  # None = auto (seq > 1024)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    def flash_for_len(self, seq_len: int) -> bool:
+        if self.use_flash is not None:
+            return self.use_flash
+        return seq_len > 1024
 
     @property
     def time_bucket(self) -> int:
@@ -210,7 +216,8 @@ def moe_dit_apply(params: dict, cfg: MoEDiTConfig, x: Array, t: Array,
             cos, sin,
             y=rms_norm(bp["attention_y_norm"], cond, cfg.norm_eps),
             n_heads=cfg.num_heads, n_kv_heads=cfg.n_kv_heads,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            use_flash=cfg.flash_for_len(h.shape[1]))
         h = h + g_msa[:, None, :].astype(h.dtype) * ha
         hf = moe_apply(bp["feed_forward"],
                        modulate(rms_norm(bp["ffn_norm"], h, cfg.norm_eps), s_mlp, sc_mlp),

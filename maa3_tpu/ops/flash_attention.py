@@ -69,9 +69,13 @@ def flash_attention(q: Array, k: Array, v: Array,
                     mask: Optional[Array] = None,
                     scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
-                    interpret: bool = False) -> Array:
+                    interpret: Optional[bool] = None) -> Array:
     """q (B, H, Lq, D), k/v (B, H, Lk, D), mask (B, Lk) True=valid.
     Returns (B, H, Lq, D)."""
+    if interpret is None:
+        # no TPU: run the kernel in interpreter mode so the flash path stays
+        # testable (and functional) on CPU hosts
+        interpret = jax.default_backend() == "cpu"
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)

@@ -48,6 +48,9 @@ def parse_args():
                    help="comma-separated config yamls")
     p.add_argument("--vocoder-ckpt", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tokenizer_dir", type=str, default="",
+                   help="dir with bert/vocab.txt + t5/tokenizer.json "
+                        "(default: $MAA3_TOKENIZER_DIR)")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--fp32", action="store_true",
                    help="run the DiT in fp32 (parity mode)")
@@ -67,6 +70,8 @@ def main():
     cfg_paths = [c for c in opt.base.split(",") if c] or [
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "txt2audio-cfm-cfg.yaml")]
+    if opt.tokenizer_dir:
+        os.environ["MAA3_TOKENIZER_DIR"] = opt.tokenizer_dir
     system = MAA3System.from_config(
         cfg_paths, ckpt_path=opt.resume or None,
         vocoder_dir=opt.vocoder_ckpt or None, seed=opt.seed,

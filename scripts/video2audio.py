@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("-b", "--base", type=str, default="")
     p.add_argument("--vocoder-ckpt", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tokenizer_dir", type=str, default="",
+                   help="dir with bert/vocab.txt + t5/tokenizer.json "
+                        "(default: $MAA3_TOKENIZER_DIR)")
     p.add_argument("--fps", type=float, default=4.0)
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--sample_rate", type=int, default=16000)
@@ -70,6 +73,8 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg_paths = [c for c in opt.base.split(",") if c] or [
         os.path.join(root, "configs", "video2audio-cfm-cfg-moe.yaml")]
+    if opt.tokenizer_dir:
+        os.environ["MAA3_TOKENIZER_DIR"] = opt.tokenizer_dir
     system = MAA3System.from_config(
         cfg_paths, ckpt_path=opt.resume or None,
         vocoder_dir=opt.vocoder_ckpt or None, seed=opt.seed,
