@@ -2,7 +2,9 @@
 
 Measures the full generation path on one TPU chip (DiT ODE -> VAE decode ->
 BigVGAN vocode) and prints ONE JSON line:
-  {"metric": "t2a_xl_10s_latency_p50", "value": <s>, "unit": "s", "vs_baseline": <x>}
+  {"metric": "t2a_xl_10s_latency_p50", "value": <s>, "unit": "s",
+   "vs_baseline": <x>, "throughput_secs_audio_per_sec_chip": <best over
+   batch sweep>, "ode_mfu": <model-flops utilization of the ODE>, ...}
 
 vs_baseline is relative to the BASELINE.md north star of 1.0 s per 10 s clip
 on one v5e chip (the reference publishes no numbers; >1.0 means faster than
@@ -21,9 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from maa3_tpu.utils import enable_compile_cache
 
-enable_compile_cache()
+if jax.default_backend() != "cpu":
+    enable_compile_cache()
 
-from maa3_tpu.models.dit import DiTConfig
+from maa3_tpu.models.dit import DiTConfig, dit_param_count
 from maa3_tpu.models.vae1d import VAEConfig
 from maa3_tpu.models.bigvgan import BigVGANConfig
 from maa3_tpu.pipeline import T2APipeline
@@ -32,6 +35,18 @@ NORTH_STAR_S = 1.0
 LATENT_LEN = 312          # 10 s: 625 mel frames // 2
 CTX_LEN = 154             # CLAP(77) ++ T5(77)
 STEPS = 25
+V5E_PEAK_BF16 = 197e12
+
+
+def median_time(fn, args, n=5):
+    fn(*args).block_until_ready()  # compile + warmup
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        fn(*args).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():
@@ -43,6 +58,7 @@ def main():
     # bf16 weight storage: halves DiT weight HBM reads per ODE step
     from maa3_tpu.utils.nprand import cast_matmul_weights
     pipe.params["dit"] = cast_matmul_weights(pipe.params["dit"], jnp.bfloat16)
+    n_params = dit_param_count(pipe.params["dit"])
 
     ctx = jax.random.normal(key, (1, CTX_LEN, 1024), jnp.float32)
     uc = jnp.zeros_like(ctx)
@@ -52,44 +68,54 @@ def main():
                                     guidance_scale=5.0, steps=STEPS)
         return wav
 
-    # compile + warmup
-    run(key).block_until_ready()
+    p50 = median_time(run, (jax.random.PRNGKey(1),))
 
-    times = []
-    for i in range(5):
-        k = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        run(k).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    p50 = times[len(times) // 2]
+    # component breakdown (batch 1)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 20, LATENT_LEN),
+                           jnp.float32)
+    scale = jnp.float32(5.0)
+    ode_t = median_time(
+        lambda x: pipe._sample_latent(pipe.params, x, ctx, uc, scale, STEPS),
+        (x0,))
+    z1 = pipe._sample_latent(pipe.params, x0, ctx, uc, scale, STEPS)
+    dec_t = median_time(lambda z: pipe._decode_mel(pipe.params, z), (z1,))
+    mel1 = pipe._decode_mel(pipe.params, z1)
+    voc_t = median_time(lambda m: pipe._vocode(pipe.params, m), (mel1,))
 
-    # batched throughput: secs-of-audio generated per wall-second per chip
-    bsz = 8
-    ctx_b = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
-    uc_b = jnp.zeros_like(ctx_b)
+    # ODE MFU: 25 steps x dual-batch forward, fwd flops ~ 2 * P * tokens
+    ode_flops = STEPS * 2 * 2 * n_params * LATENT_LEN
+    ode_mfu = ode_flops / ode_t / V5E_PEAK_BF16
 
-    def run_b(k):
-        _, _, wav = pipe.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
-                                  guidance_scale=5.0, steps=STEPS)
-        return wav
+    # batched throughput sweep: secs-of-audio per wall-second per chip
+    best_tp, best_b = 0.0, 0
+    tp_by_batch = {}
+    for bsz in (8, 16, 32):
+        ctx_b = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
+        uc_b = jnp.zeros_like(ctx_b)
 
-    run_b(key).block_until_ready()
-    tb = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        run_b(jax.random.PRNGKey(100 + i)).block_until_ready()
-        tb.append(time.perf_counter() - t0)
-    tb.sort()
-    throughput = bsz * 10.0 / tb[len(tb) // 2]
+        def run_b(k):
+            _, _, wav = pipe.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
+                                      guidance_scale=5.0, steps=STEPS)
+            return wav
+
+        tb = median_time(run_b, (jax.random.PRNGKey(100 + bsz),), n=3)
+        tp = bsz * 10.0 / tb
+        tp_by_batch[bsz] = round(tp, 1)
+        if tp > best_tp:
+            best_tp, best_b = tp, bsz
 
     print(json.dumps({
         "metric": "t2a_xl_10s_latency_p50",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(NORTH_STAR_S / p50, 3),
-        "throughput_secs_audio_per_sec_chip": round(throughput, 1),
-        "throughput_batch": bsz,
+        "throughput_secs_audio_per_sec_chip": round(best_tp, 1),
+        "throughput_batch": best_b,
+        "throughput_by_batch": tp_by_batch,
+        "ode_ms": round(ode_t * 1e3, 1),
+        "vae_decode_ms": round(dec_t * 1e3, 1),
+        "vocoder_ms": round(voc_t * 1e3, 1),
+        "ode_mfu": round(ode_mfu, 3),
     }))
 
 

@@ -21,7 +21,8 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from maa3_tpu.ops.conv import conv1d, conv1d_init, conv_transpose1d
+from maa3_tpu.ops.conv import (conv1d, conv1d_init, conv_transpose1d,
+                                conv_transpose1d_polyphase)
 from maa3_tpu.ops.resample import Activation1d
 
 Array = jax.Array
@@ -216,8 +217,15 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
 
     x = conv1d(params["conv_pre"], mel, padding=3, compute_dtype=compute_dtype)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        x = conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2,
-                             compute_dtype=compute_dtype)
+        pad = (k - u) // 2
+        if k <= 3 * u and k - 2 * pad == u:
+            # dense polyphase GEMM lowering (no zero-stuffed MACs on the MXU)
+            x = conv_transpose1d_polyphase(params["ups"][i], x, stride=u,
+                                           padding=pad,
+                                           compute_dtype=compute_dtype)
+        else:
+            x = conv_transpose1d(params["ups"][i], x, stride=u, padding=pad,
+                                 compute_dtype=compute_dtype)
         xs = None
         for j in range(num_kernels):
             rb = params["resblocks"][i * num_kernels + j]

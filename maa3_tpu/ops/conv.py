@@ -88,6 +88,47 @@ def conv_transpose1d(params: dict, x: Array, stride: int, padding: int = 0,
     return y
 
 
+def conv_transpose1d_polyphase(params: dict, x: Array, stride: int,
+                               padding: int = 0, compute_dtype=None) -> Array:
+    """ConvTranspose1d lowered as ONE dense polyphase conv + interleave.
+
+    For k <= 3*stride (all BigVGAN stages use k = 2*stride), every output
+    sample y[u*m + r] = sum_d x[m+d] * W[:, :, r + pad - u*d] with d in
+    {-1, 0, 1}. That's a kernel-3 conv producing (u*out_ch) channels,
+    reshaped to (out_ch, u*T) — a single dense MXU GEMM instead of the
+    zero-stuffed lhs-dilated conv (which wastes (u-1)/u of its MACs on
+    structural zeros). Exactly equal to torch ConvTranspose1d output.
+    """
+    w = params["w"]  # (in, out, k) torch ConvTranspose layout
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    cin, cout, k = w.shape
+    u = stride
+    # output length (T-1)*u - 2p + k must equal u*T (true for BigVGAN's
+    # k = 2u, p = u/2 stages); wider kernels would need more polyphase taps
+    assert k <= 3 * u and k - 2 * padding == u, (
+        f"polyphase lowering needs k<=3u and k-2p==u, got k={k} u={u} p={padding}")
+    b, _, t = x.shape
+
+    # W3[(r, o), i, tau] = W[i, o, r + pad + u - u*tau], zero outside [0, k)
+    kappa = (padding + u + jnp.arange(u)[:, None]
+             - u * jnp.arange(3)[None, :])                  # (u, 3)
+    valid = (kappa >= 0) & (kappa < k)
+    w_ext = jnp.concatenate(
+        [w, jnp.zeros((cin, cout, 1), w.dtype)], axis=-1)   # κ=k slot -> 0
+    gath = w_ext[:, :, jnp.where(valid, kappa, k)]          # (in, out, u, 3)
+    w3 = gath.transpose(2, 1, 0, 3).reshape(u * cout, cin, 3)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+    y = lax.conv_general_dilated(xp, w3, window_strides=(1,), padding=[(0, 0)],
+                                 dimension_numbers=_DN)     # (B, u*out, T)
+    y = y.reshape(b, u, cout, t).transpose(0, 2, 3, 1).reshape(b, cout, u * t)
+    if "b" in params and params["b"] is not None:
+        y = y + params["b"].astype(y.dtype)[None, :, None]
+    return y
+
+
 def pad_1d(x: Array, pad_left: int, pad_right: int, mode: str = "constant") -> Array:
     """Pad the trailing (time) axis of (B, C, T) or (B, T)."""
     cfg = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]

@@ -23,7 +23,8 @@ if os.environ.get("MAA3_PLATFORM"):
 
 from maa3_tpu.utils import enable_compile_cache
 
-enable_compile_cache()
+if jax.default_backend() != "cpu":
+    enable_compile_cache()  # CPU AOT cache entries can SIGILL across hosts
 
 
 def parse_args():

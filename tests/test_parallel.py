@@ -21,6 +21,86 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_two_rank_sampler_disjoint_coverage():
+    """DDP data-path semantics (joinaudiodataset_struct_sample_anylen.py:
+    301-306): two ranks see disjoint batches whose union is the full epoch,
+    with identical epoch-seeded order across ranks."""
+    from maa3_tpu.data.datasets import BucketBatchSampler
+
+    indices = list(range(40))
+    r0 = BucketBatchSampler(indices, batch_size=4, num_replicas=2, rank=0,
+                            seed=7)
+    r1 = BucketBatchSampler(indices, batch_size=4, num_replicas=2, rank=1,
+                            seed=7)
+    single = BucketBatchSampler(indices, batch_size=4, num_replicas=1, rank=0,
+                                seed=7)
+    b0, b1, ball = list(r0), list(r1), list(single)
+    flat0 = {i for b in b0 for i in b}
+    flat1 = {i for b in b1 for i in b}
+    assert flat0.isdisjoint(flat1)
+    assert flat0 | flat1 == set(indices)
+    # the rank split is round-robin over the SAME shuffled batch list
+    assert b0 == ball[0::2] and b1 == ball[1::2]
+    # epoch reshuffle changes order deterministically and stays disjoint
+    r0.set_epoch(1), r1.set_epoch(1)
+    assert list(r0) != b0
+    assert {i for b in r0 for i in b}.isdisjoint({i for b in r1 for i in b})
+
+
+@requires_8
+def test_two_rank_train_step_matches_single_rank():
+    """The 'data'-axis sharded train step must produce the same loss and
+    updated params as the same global batch on one device — the DDP
+    gradient all-reduce equivalence, via XLA psum from shardings alone."""
+    from jax.sharding import NamedSharding
+    from maa3_tpu.models.vae1d import VAEConfig, vae_init
+    from maa3_tpu.parallel.mesh import replicated
+    from maa3_tpu.train.optim import make_optimizer
+    from maa3_tpu.train.step import create_train_state, make_train_step
+
+    dit_cfg = DiTConfig(in_channels=4, context_dim=16, hidden_size=64,
+                        depth=2, num_heads=4, max_len=64)
+    vae_cfg = VAEConfig(in_channels=8, out_ch=8, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=5,
+                        z_channels=4, embed_dim=4)
+    key = jax.random.PRNGKey(0)
+    params = {"dit": dit_init(key, dit_cfg)}
+    frozen = {"vae": vae_init(key, vae_cfg)}
+    optimizer = make_optimizer()
+    step_fn = make_train_step(dit_cfg, vae_cfg, optimizer,
+                              compute_dtype=jnp.float32)
+
+    batch = {
+        "mel": jax.random.normal(key, (8, 8, 32), jnp.float32),
+        "context": jax.random.normal(key, (8, 5, 16), jnp.float32),
+    }
+    k = jax.random.PRNGKey(1)
+
+    # single-rank reference
+    state1 = create_train_state(params, frozen, optimizer)
+    state1, m1 = jax.jit(step_fn)(state1, batch, k)
+
+    # two 'ranks': the same batch sharded over a data=2 mesh, as the two
+    # per-rank shards a 2-process DDP run would feed (BucketBatchSampler
+    # rank split + Trainer.prepare_batch batch_sharding)
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    state2 = create_train_state(params, frozen, optimizer)
+    state2 = jax.device_put(state2, replicated(mesh))
+    batch2 = {kk: jax.device_put(v, batch_sharding(mesh, v.ndim))
+              for kk, v in batch.items()}
+    with jax.set_mesh(mesh):
+        state2, m2 = jax.jit(step_fn)(state2, batch2, jax.device_put(
+            k, replicated(mesh)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree.leaves(state1.params)
+    l2 = jax.tree.leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+
 @requires_8
 def test_tp_sharded_forward_matches_single_device():
     """DiT forward under a 4x2 (data x model) mesh must equal the
