@@ -42,6 +42,10 @@ class UNet2DConfig:
     num_heads: int = 4
     context_dim: Optional[int] = None            # None -> self-attn only
     transformer_depth: int = 1
+    film_dim: Optional[int] = None               # FiLM/class-label embedding
+                                                 # added to temb (AudioLDM
+                                                 # 'film' conditioning;
+                                                 # ddpm.py:1429-1431)
 
 
 def _conv2d_init(key, cin, cout, k, zero=False):
@@ -170,6 +174,8 @@ def unet2d_init(key: Array, cfg: UNet2DConfig) -> dict:
         "temb2": dense_init(next(ks), temb_dim, temb_dim),
         "conv_in": _conv2d_init(next(ks), cfg.in_channels, mc, 3),
     }
+    if cfg.film_dim:
+        p["film_emb"] = dense_init(next(ks), cfg.film_dim, temb_dim)
     downs, ch, chans = [], mc, [mc]
     for lvl, mult in enumerate(cfg.channel_mult):
         level = {"res": [], "attn": []}
@@ -212,9 +218,14 @@ def unet2d_init(key: Array, cfg: UNet2DConfig) -> dict:
 
 
 def unet2d_apply(params: dict, cfg: UNet2DConfig, x: Array, t: Array,
-                 context: Optional[Array] = None) -> Array:
+                 context: Optional[Array] = None,
+                 film: Optional[Array] = None) -> Array:
     temb = timestep_embedding(t, cfg.model_channels)
     temb = dense(params["temb2"], silu(dense(params["temb1"], temb)))
+    if film is not None:
+        # 'film' conditioning: pooled embedding joins the timestep embedding
+        # (the y/label_emb route of the reference UNet, ddpm.py:1429-1437)
+        temb = temb + dense(params["film_emb"], film)
 
     h = _conv2d(params["conv_in"], x)
     skips = [h]

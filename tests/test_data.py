@@ -105,6 +105,24 @@ def test_structurizer_roundtrip():
     assert natural_to_struct("") == ""
 
 
+def test_structurizer_llm_hook():
+    """The pluggable LLM callable (n2s_by_openai.py:7-35 equivalent): the
+    hook receives prompt+caption and its structured answer is used verbatim.
+    (A live GPT endpoint is out of scope in this zero-egress environment;
+    any text->text callable, e.g. a local LLM, slots in here.)"""
+    seen = {}
+
+    def fake_llm(prompt: str) -> str:
+        seen["prompt"] = prompt
+        return "<rain falls& start>@<thunder& end>"
+
+    out = natural_to_struct("rain falls then thunder", llm=fake_llm)
+    assert out == "<rain falls& start>@<thunder& end>"
+    assert "rain falls then thunder" in seen["prompt"]
+    # and the inverse maps it back to natural text
+    assert struct_to_natural(out) == "rain falls, then thunder"
+
+
 def test_wordpiece_tokenizer(tmp_path):
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "dog", "bark", "##s",
              "##ing", "."]
