@@ -279,28 +279,41 @@ class BucketBatchSampler:
 class PrefetchLoader:
     """Background-thread batch loader (the torch DataLoader replacement).
 
-    Deliberately simple: the heavy lifting (npy reads) releases the GIL
-    inside numpy; a deeper C++ loader slots in behind the same interface.
+    num_workers > 1 loads batches concurrently (npy reads release the GIL
+    inside numpy / the C++ loader) while PRESERVING sampler batch order, so
+    multi-worker runs stay bit-identical to single-worker ones. A deeper
+    C++ loader slots in behind the same interface.
     """
 
-    def __init__(self, dataset, sampler, collate_fn=None, prefetch: int = 4):
+    def __init__(self, dataset, sampler, collate_fn=None, prefetch: int = 4,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.sampler = sampler
         self.collate = collate_fn or getattr(dataset, "collater", None)
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, num_workers)
+        self.num_workers = max(1, num_workers)
 
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _load(self, batch_idx):
+        items = [self.dataset[i] for i in batch_idx]
+        return self.collate(items) if self.collate else items
+
     def __iter__(self):
+        if self.num_workers == 1:
+            yield from self._iter_single()
+        else:
+            yield from self._iter_multi()
+
+    def _iter_single(self):
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
             try:
                 for batch_idx in self.sampler:
-                    items = [self.dataset[i] for i in batch_idx]
-                    q.put(self.collate(items) if self.collate else items)
+                    q.put(self._load(batch_idx))
             finally:
                 q.put(stop)
 
@@ -311,3 +324,40 @@ class PrefetchLoader:
             if item is stop:
                 break
             yield item
+
+    def _iter_multi(self):
+        in_q: queue_mod.Queue = queue_mod.Queue()
+        batches = list(self.sampler)
+        for seq, b in enumerate(batches):
+            in_q.put((seq, b))
+        done: dict = {}
+        cond = threading.Condition()
+        inflight = threading.Semaphore(self.prefetch)  # bound memory
+
+        def worker():
+            while True:
+                try:
+                    seq, batch_idx = in_q.get_nowait()
+                except queue_mod.Empty:
+                    return
+                inflight.acquire()
+                try:
+                    out = self._load(batch_idx)
+                except BaseException as e:  # surface errors in order
+                    out = e
+                with cond:
+                    done[seq] = out
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        for seq in range(len(batches)):
+            with cond:
+                cond.wait_for(lambda: seq in done)
+                out = done.pop(seq)
+            inflight.release()
+            if isinstance(out, BaseException):
+                raise out
+            yield out

@@ -50,29 +50,45 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 # DiT parameter shardings (tensor parallel)
 # ---------------------------------------------------------------------------
 
-def dit_param_specs(params: dict) -> dict:
+def dit_param_specs(params: dict, check_coverage: bool = True) -> dict:
     """PartitionSpec tree matching dit_init's pytree (stacked blocks have a
-    leading depth axis, hence the extra None).
+    leading depth axis, hence the extra None; MoE expert stacks an extra
+    expert axis).
 
     Column-parallel: wq/wk/wv/wk_y/wv_y/w1/w3 shard their output dim.
     Row-parallel: wo/w2 shard their input dim (XLA adds the psum).
     Everything small (norms, adaLN, embedders) is replicated.
+
+    Matching is by pytree key names; check_coverage guards the brittleness:
+    any >=2D block leaf with more than 1M params that would silently fall
+    back to replicated raises (catches renames / new weight classes).
     """
+
+    COL = ("wq", "wk", "wv", "wk_y", "wv_y", "w1", "w3")
+    ROW = ("wo", "w2")
 
     def spec_for(path: tuple, leaf) -> P:
         names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         nd = leaf.ndim
         if "blocks" in names:
-            if any(n in names for n in ("wq", "wk", "wv", "wk_y", "wv_y",
-                                        "w1", "w3")):
-                # (depth, in, out) -> shard output dim (column parallel)
+            if any(n in names for n in COL):
+                # (depth[, experts], in, out) -> shard output (column)
                 return P(*([None] * (nd - 1)), "model")
-            if any(n in names for n in ("wo", "w2")):
-                # (depth, in, out) -> shard input dim (row parallel; XLA
-                # inserts the psum after the matmul)
-                return P(None, "model", None)
+            if any(n in names for n in ROW):
+                # shard input dim (row parallel; XLA inserts the psum)
+                return P(*([None] * (nd - 2)), "model", None)
             if "gate" in names:
                 return P(None, "model")  # (depth, n_heads) per-head gate
+            if "adaLN" in names:
+                # deliberately replicated: its (B, 6H) output feeds
+                # hidden-dim modulate() on replicated activations; sharding
+                # it would insert an all-gather per block for ~2% of FLOPs
+                return P()
+            if check_coverage and nd >= 2 and leaf.size > 1_000_000:
+                raise ValueError(
+                    f"dit_param_specs: unrecognized large block leaf "
+                    f"{'/'.join(names)} {leaf.shape} would be silently "
+                    f"replicated — extend the sharding rules")
         return P()  # replicated
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -293,8 +293,12 @@ class Trainer:
                     break
                 batch = self.prepare_batch(raw)
                 key, sub = jax.random.split(key)
-                losses.append(float(self._eval_step(self.state, batch, sub)))
-        metrics = {"val/loss_simple": float(np.mean(losses)) if losses else float("nan"),
+                # keep losses on device: a float() here would sync the host
+                # every step and stall the prefetch pipeline
+                losses.append(self._eval_step(self.state, batch, sub))
+            mean_loss = (float(jnp.mean(jnp.stack(losses)))
+                         if losses else float("nan"))
+        metrics = {"val/loss_simple": mean_loss,
                    "val/batches": float(len(losses))}
         self._log(metrics | {"step": int(self.state.step)})
         return metrics

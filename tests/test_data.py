@@ -145,3 +145,36 @@ def test_hash_tokenizer_deterministic():
     a2, _ = tok(["hello world"])
     np.testing.assert_array_equal(a1, a2)
     assert m1[0].sum() == 4  # cls + 2 words + sep
+
+
+def test_prefetch_multiworker_order_and_errors(tmp_path):
+    """num_workers>1 must preserve sampler batch order exactly and surface
+    worker exceptions at the right position."""
+
+    class SlowDS:
+        def __getitem__(self, i):
+            import time
+            time.sleep(0.002 * (7 - i % 8))  # out-of-order completion
+            return i
+
+    sampler = [[i, i + 1] for i in range(0, 32, 2)]
+    loader = PrefetchLoader(SlowDS(), sampler, collate_fn=list, prefetch=4,
+                            num_workers=4)
+    out = list(loader)
+    assert out == sampler  # order preserved despite reordered completion
+
+    class BadDS:
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt shard")
+            return i
+
+    loader = PrefetchLoader(BadDS(), sampler, collate_fn=list, num_workers=3)
+    got = []
+    try:
+        for b in loader:
+            got.append(b)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+    assert got == sampler[:2]  # batches before the bad one arrived in order

@@ -15,6 +15,62 @@ requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+def test_param_specs_cover_moe_experts():
+    """MoE expert stacks get real TP shardings (not silent replication), and
+    the coverage guard trips on unrecognized large block leaves."""
+    from jax.sharding import PartitionSpec as P
+    from maa3_tpu.models.dit_moe import MoEDiTConfig, moe_dit_init
+
+    cfg = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
+                       depth=2, num_heads=2, max_len=16, multiple_of=16,
+                       num_experts=4)
+    params = moe_dit_init(jax.random.PRNGKey(0), cfg)
+    specs = dit_param_specs(params)
+    ff = specs["blocks"]["feed_forward"]
+    assert ff["time_experts"]["w1"]["w"] == P(None, None, None, "model")
+    assert ff["freq_experts"]["w2"]["w"] == P(None, None, "model", None)
+
+    # guard: a renamed big leaf must raise instead of silently replicating
+    params["blocks"]["mystery"] = {"w": jnp.zeros((2, 1024, 1024))}
+    with pytest.raises(ValueError, match="unrecognized large block leaf"):
+        dit_param_specs(params)
+
+
+@requires_8
+def test_moe_tp_sharded_forward_matches_single_device():
+    """Video MoE DiT forward under a 2x4 (data x model) mesh must equal the
+    unsharded result, including the expert-sharded FFN stacks."""
+    from jax.sharding import NamedSharding
+    from maa3_tpu.models.dit_moe import MoEDiTConfig, moe_dit_init, moe_dit_apply
+
+    cfg = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
+                       depth=2, num_heads=4, max_len=16, multiple_of=16,
+                       num_experts=4)
+    key = jax.random.PRNGKey(0)
+    params = moe_dit_init(key, cfg)
+    params["final_layer"]["linear"]["w"] = (
+        0.1 * jax.random.normal(key, params["final_layer"]["linear"]["w"].shape))
+
+    x = jax.random.normal(key, (4, 4, 16))
+    t = jnp.array([0, 260, 600, 999])
+    ctx = jax.random.normal(key, (4, 5, 16))
+    ref = moe_dit_apply(params, cfg, x, t, ctx, compute_dtype=jnp.float32)
+
+    mesh = make_mesh(2, 4)
+    specs = dit_param_specs(params)
+    sharded = jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), params, specs)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, a, b, c: moe_dit_apply(
+            p, cfg, a, b, c, compute_dtype=jnp.float32))(
+            sharded,
+            jax.device_put(x, batch_sharding(mesh, 3)),
+            jax.device_put(t, batch_sharding(mesh, 1)),
+            jax.device_put(ctx, batch_sharding(mesh, 3)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 @requires_8
 def test_dryrun_multichip():
     import __graft_entry__
