@@ -55,9 +55,11 @@ def main():
                    depth=28, num_heads=16, max_len=1000)
     pipe = T2APipeline.random_init(key, xl, VAEConfig(), BigVGANConfig(),
                                    compute_dtype=jnp.bfloat16)
-    # bf16 weight storage: halves DiT weight HBM reads per ODE step
-    from maa3_tpu.utils.nprand import cast_matmul_weights
-    pipe.params["dit"] = cast_matmul_weights(pipe.params["dit"], jnp.bfloat16)
+    # bf16 weight storage: halves DiT weight HBM reads per ODE step;
+    # wqkv/w13 fusion: one wide MXU GEMM per site (numerics unchanged)
+    from maa3_tpu.utils.nprand import cast_matmul_weights, fuse_dit_gemms
+    pipe.params["dit"] = fuse_dit_gemms(
+        cast_matmul_weights(pipe.params["dit"], jnp.bfloat16))
     n_params = dit_param_count(pipe.params["dit"])
 
     ctx = jax.random.normal(key, (1, CTX_LEN, 1024), jnp.float32)

@@ -87,6 +87,39 @@ def sample(velocity_fn: VelocityFn, x0: Array, context: Array,
     return x
 
 
+def sample_cfg_planned(step_velocity_fn, x0: Array, per_step_xs,
+                       guidance_scale: float, steps: int = 25,
+                       t_start: Optional[int] = None) -> Array:
+    """CFG Euler ODE where per-step, latent-independent tensors are
+    precomputed (see models/dit.py::dit_sample_plan) and fed as scan inputs.
+
+    step_velocity_fn(x_in, xs_slice) -> dual-batch velocity; per_step_xs is a
+    pytree with leading axis == steps - 1 (one slice per Euler step).
+    Numerics identical to sample_cfg — the per-step work is hoisted, not
+    changed.
+    """
+    t_grid = euler_t_grid(steps, t_start)
+
+    def step(x, inp):
+        t_pair, xs = inp
+        t, t_next = t_pair
+        x_in = jnp.concatenate([x, x], axis=0)
+        e = step_velocity_fn(x_in, xs)
+        e_uc, e_c = jnp.split(e, 2, axis=0)
+        v = e_uc + guidance_scale * (e_c - e_uc)
+        return x + (t_next - t) * v, None
+
+    x, _ = jax.lax.scan(step, x0, ((t_grid[:-1], t_grid[1:]), per_step_xs))
+    return x
+
+
+def planned_t_ints(steps: int, t_start: Optional[int] = None,
+                   num_timesteps: int = 1000) -> Array:
+    """Integer model timesteps for each Euler step of sample_cfg's grid."""
+    t_grid = euler_t_grid(steps, t_start)
+    return jnp.floor(t_grid[:-1] * num_timesteps).astype(jnp.int32)
+
+
 def sample_cfg_inpaint(velocity_fn: VelocityFn, x0: Array, context: Array,
                        uncond_context: Array, guidance_scale: float,
                        known: Array, keep_mask: Array, steps: int = 25,

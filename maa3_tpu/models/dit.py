@@ -197,3 +197,125 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
 
 def dit_param_count(params: dict) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Planned sampling (hoisted per-step constants)
+# ---------------------------------------------------------------------------
+#
+# During ODE sampling, every per-step forward recomputes work that does not
+# depend on the latent x: the adaLN modulation GEMMs (those weights are ~30%
+# of the XL's parameters — re-read from HBM 25x), the cross-attention K/V
+# projections of the static text context, and the timestep/caption embedders.
+# The Euler timestep grid is known in advance, so ALL of it can be computed
+# once, up front, in a handful of large batched GEMMs. `dit_sample_plan`
+# builds that cache; `dit_apply_planned` consumes it. Numerics are identical
+# to dit_apply (same ops, hoisted). This is a pure TPU-latency optimization —
+# the reference (driven step-by-step from Python by torchdyn) cannot do this.
+
+def dit_sample_plan(params: dict, cfg: DiTConfig, t_ints: Array,
+                    context: Array, context_mask: Optional[Array] = None,
+                    compute_dtype=jnp.bfloat16) -> dict:
+    """Precompute token-independent tensors for a known Euler timestep grid.
+
+    t_ints: (S,) int32 model timesteps (floor(t * 1000) per step).
+    context: (B, Ly, ctx_dim) — for CFG pass the dual batch [uc; c].
+
+    Returns {"mods": (S, depth, B, 6H) fp32, "final": (S, B, 2H) fp32,
+             "yk"/"yv": (depth, B, Ly, kv_dim) in compute_dtype}.
+    """
+    d = cfg.hidden_size
+    blocks = params["blocks"]
+
+    # --- per-step adaLN inputs (fp32, matches dit_apply) -------------------
+    t_emb = timestep_embedder_apply(params["t_embedder"], t_ints)  # (S, H)
+    ctx_f = context.astype(jnp.float32)
+    if context_mask is not None:
+        mf = context_mask.astype(jnp.float32)[:, :, None]
+        pooled = (ctx_f * mf).sum(axis=1) / jnp.maximum(mf.sum(axis=1), 1.0)
+    else:
+        pooled = ctx_f.mean(axis=1)
+    ce = params["cap_embedder"]
+    cap_emb = dense(ce["linear"],
+                    layer_norm(pooled, ce["norm"]["weight"], ce["norm"]["bias"],
+                               eps=1e-5))
+    adaln = silu(t_emb[:, None, :] + cap_emb[None, :, :])  # (S, B, H) fp32
+
+    # --- all blocks' 6-way modulations in one GEMM -------------------------
+    w_ada = blocks["adaLN"]["w"].astype(jnp.float32)       # (depth, H, 6H)
+    mods = jnp.einsum("sbh,dhm->sdbm", adaln, w_ada)
+    mods = mods + blocks["adaLN"]["b"].astype(jnp.float32)[None, :, None, :]
+
+    fl = params["final_layer"]["adaLN"]
+    final = jnp.einsum("sbh,hm->sbm", adaln, fl["w"].astype(jnp.float32))
+    final = final + fl["b"].astype(jnp.float32)[None, None, :]
+
+    # --- static cross-attention K/V per block ------------------------------
+    # rms_norm(attention_y_norm, y) with per-block scale, then wk_y/wv_y;
+    # ky_norm (when qk_norm) applies to K only — same ops as attention_apply.
+    yf = ctx_f * jax.lax.rsqrt(
+        jnp.mean(ctx_f * ctx_f, axis=-1, keepdims=True) + cfg.norm_eps)
+    yn = (yf.astype(context.dtype)[None]
+          * blocks["attention_y_norm"]["weight"].astype(context.dtype)[:, None, None, :])
+    yn = yn.astype(compute_dtype)
+    att = blocks["attention"]
+    yk = jnp.einsum("dbly,dyk->dblk", yn, att["wk_y"]["w"].astype(compute_dtype))
+    yv = jnp.einsum("dbly,dyk->dblk", yn, att["wv_y"]["w"].astype(compute_dtype))
+    if "ky_norm" in att:
+        yk = layer_norm(yk, att["ky_norm"]["weight"][:, None, None, :],
+                        att["ky_norm"]["bias"][:, None, None, :], eps=1e-5)
+    return {"mods": mods, "final": final, "yk": yk, "yv": yv}
+
+
+def _block_apply_planned(p: dict, cfg: DiTConfig, x: Array, cos: Array,
+                         sin: Array, mod: Array, yk: Array, yv: Array,
+                         x_mask, y_mask, compute_dtype) -> Array:
+    """_block_apply with the modulation + context K/V precomputed."""
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+        jnp.split(mod, 6, axis=-1))
+
+    h_attn = attention_apply(
+        p["attention"],
+        modulate(rms_norm(p["attention_norm"], x, cfg.norm_eps), shift_msa, scale_msa),
+        cos, sin,
+        y_kv=(yk, yv),
+        x_mask=x_mask, y_mask=y_mask,
+        n_heads=cfg.num_heads, n_kv_heads=cfg.n_kv_heads,
+        compute_dtype=compute_dtype,
+        use_flash=cfg.flash_for_len(x.shape[1]),
+    )
+    h = x + gate_msa[:, None, :].astype(x.dtype) * h_attn
+
+    h_ffn = feed_forward_apply(
+        p["feed_forward"],
+        modulate(rms_norm(p["ffn_norm"], h, cfg.norm_eps), shift_mlp, scale_mlp),
+        compute_dtype,
+    )
+    return h + gate_mlp[:, None, :].astype(h.dtype) * h_ffn
+
+
+def dit_apply_planned(params: dict, cfg: DiTConfig, x: Array, mods: Array,
+                      final_mod: Array, yk: Array, yv: Array,
+                      x_mask: Optional[Array] = None,
+                      y_mask: Optional[Array] = None,
+                      compute_dtype=jnp.bfloat16) -> Array:
+    """dit_apply consuming one step's plan slice (mods: (depth, B, 6H),
+    final_mod: (B, 2H), yk/yv: (depth, B, Ly, kv_dim))."""
+    x = x.transpose(0, 2, 1)
+    x = dense(params["proj_in"], x, compute_dtype)
+    cos, sin = precompute_rope(cfg.head_dim, x.shape[1],
+                               rope_scaling_factor=cfg.rope_scaling_factor,
+                               ntk_factor=cfg.ntk_factor)
+
+    def body(h, xs):
+        bp, mod, yk_d, yv_d = xs
+        h = _block_apply_planned(bp, cfg, h, cos, sin, mod, yk_d, yv_d,
+                                 x_mask, y_mask, compute_dtype)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], mods, yk, yv))
+
+    shift, scale = jnp.split(final_mod, 2, axis=-1)
+    x = modulate(layer_norm(x.astype(jnp.float32), eps=1e-6), shift, scale)
+    x = dense(params["final_layer"]["linear"], x)
+    return x.transpose(0, 2, 1).astype(jnp.float32)

@@ -184,6 +184,56 @@ def _cond_embed(p: dict, x: Array, compute_dtype) -> Array:
     return layer_norm(h, p["ln"]["weight"], p["ln"]["bias"], eps=1e-5)
 
 
+def _freq_sliced_stacks(fe: dict, cfg: MoEDiTConfig, d: int, dt):
+    """Pre-slice the freq experts: rows of w1/w3 (input slice), cols of w2
+    (output slice). Weight-only — hoistable out of any sampling loop."""
+    E = cfg.num_experts
+    sl = d // E
+    w1s = jnp.stack([fe["w1"]["w"][..., e, e * sl:(e + 1) * sl, :]
+                     for e in range(E)], axis=-3)
+    w3s = jnp.stack([fe["w3"]["w"][..., e, e * sl:(e + 1) * sl, :]
+                     for e in range(E)], axis=-3)
+    w2s = jnp.stack([fe["w2"]["w"][..., e, :, e * sl:(e + 1) * sl]
+                     for e in range(E)], axis=-3)
+    return w1s.astype(dt), w3s.astype(dt), w2s.astype(dt)
+
+
+def _freq_moe(y: Array, w1s: Array, w3s: Array, w2s: Array, dt) -> Array:
+    """Frequency-MoE on pre-sliced stacks (w1s/w3s (E, sl, h), w2s (E, h, sl))."""
+    b, l, d = y.shape
+    E = w1s.shape[-3]
+    y_slices = y.reshape(b, l, E, d // E).astype(dt)
+    g1 = jnp.einsum("bleS,eSh->bleh", y_slices, w1s,
+                    preferred_element_type=jnp.float32)
+    g3 = jnp.einsum("bleS,eSh->bleh", y_slices, w3s,
+                    preferred_element_type=jnp.float32)
+    z = jnp.einsum("bleh,ehS->bleS", (silu(g1) * g3).astype(dt), w2s,
+                   preferred_element_type=jnp.float32)
+    return z.reshape(b, l, d)
+
+
+def moe_apply_shared_t(p: dict, x: Array, t_idx, cfg: MoEDiTConfig,
+                       freq_sliced=None, compute_dtype=None) -> Array:
+    """moe_apply when every sample shares one timestep (the sampling case):
+    the time-expert gather collapses to a single dynamic slice and a plain
+    GEMM (no per-sample weight copies). t_idx: scalar int expert index."""
+    dt = compute_dtype or x.dtype
+    te = p["time_experts"]
+    w1 = jax.lax.dynamic_index_in_dim(te["w1"]["w"], t_idx, 0, False).astype(dt)
+    w2 = jax.lax.dynamic_index_in_dim(te["w2"]["w"], t_idx, 0, False).astype(dt)
+    w3 = jax.lax.dynamic_index_in_dim(te["w3"]["w"], t_idx, 0, False).astype(dt)
+    xb = x.astype(dt)
+    h1 = jnp.einsum("bld,dh->blh", xb, w1, preferred_element_type=jnp.float32)
+    h3 = jnp.einsum("bld,dh->blh", xb, w3, preferred_element_type=jnp.float32)
+    y = jnp.einsum("blh,hd->bld", (silu(h1) * h3).astype(dt), w2,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+    if freq_sliced is None:
+        d = x.shape[-1]
+        freq_sliced = _freq_sliced_stacks(p["freq_experts"], cfg, d, dt)
+    return _freq_moe(y, *freq_sliced, dt).astype(x.dtype)
+
+
 def moe_dit_apply(params: dict, cfg: MoEDiTConfig, x: Array, t: Array,
                   context: Array, compute_dtype=jnp.bfloat16) -> Array:
     """x (B, C, T), t (B,) in [0, 1000), context (B, Lv, ctx) video features.
@@ -226,4 +276,96 @@ def moe_dit_apply(params: dict, cfg: MoEDiTConfig, x: Array, t: Array,
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = final_layer_apply(params["final_layer"], x, adaln_input)
+    return x.transpose(0, 2, 1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Planned sampling (hoisted per-step constants — see models/dit.py for the
+# rationale; the MoE adds two more hoists: the video-conditioning tower and
+# the freq-expert weight slicing are step-independent, and during sampling
+# every sample shares one timestep so the time-expert gather collapses to a
+# single dynamic slice per block)
+# ---------------------------------------------------------------------------
+
+def moe_dit_sample_plan(params: dict, cfg: MoEDiTConfig, t_ints: Array,
+                        context: Array, compute_dtype=jnp.bfloat16) -> dict:
+    """t_ints (S,) int32 model timesteps; context (B, Lv, ctx) video feats
+    (for CFG pass the dual batch [uc; c]). Returns the per-step plan."""
+    d = cfg.hidden_size
+    blocks = params["blocks"]
+
+    cond = _cond_embed(params["c_embedder"], context, compute_dtype)  # (B,Lv,H)
+    t_emb = timestep_embedder_apply(params["t_embedder"], t_ints)     # (S,H)
+    pooled = cond.astype(jnp.float32).mean(axis=1)
+    ce = params["cap_embedder"]
+    cap_emb = dense(ce["linear"],
+                    layer_norm(pooled, ce["norm"]["weight"], ce["norm"]["bias"],
+                               eps=1e-5))
+    adaln = silu(t_emb[:, None, :] + cap_emb[None, :, :])  # (S, B, H)
+
+    w_ada = blocks["adaLN"]["w"].astype(jnp.float32)       # (depth, H, 6H)
+    mods = jnp.einsum("sbh,dhm->sdbm", adaln, w_ada)
+    mods = mods + blocks["adaLN"]["b"].astype(jnp.float32)[None, :, None, :]
+    fl = params["final_layer"]["adaLN"]
+    final = jnp.einsum("sbh,hm->sbm", adaln, fl["w"].astype(jnp.float32))
+    final = final + fl["b"].astype(jnp.float32)[None, None, :]
+
+    # static cross-attn K/V over the conditioning (per-block y-norm then
+    # wk_y/wv_y; ky_norm on K when qk_norm — same ops as attention_apply)
+    cf = cond.astype(jnp.float32)
+    yf = cf * jax.lax.rsqrt(jnp.mean(cf * cf, axis=-1, keepdims=True)
+                            + cfg.norm_eps)
+    yn = (yf.astype(cond.dtype)[None]
+          * blocks["attention_y_norm"]["weight"].astype(cond.dtype)[:, None, None, :])
+    yn = yn.astype(compute_dtype)
+    att = blocks["attention"]
+    yk = jnp.einsum("dbly,dyk->dblk", yn, att["wk_y"]["w"].astype(compute_dtype))
+    yv = jnp.einsum("dbly,dyk->dblk", yn, att["wv_y"]["w"].astype(compute_dtype))
+    if "ky_norm" in att:
+        yk = layer_norm(yk, att["ky_norm"]["weight"][:, None, None, :],
+                        att["ky_norm"]["bias"][:, None, None, :], eps=1e-5)
+
+    # freq-expert slicing is weight-only: hoist (depth, E, sl, h) stacks
+    freq_sliced = _freq_sliced_stacks(blocks["feed_forward"]["freq_experts"],
+                                      cfg, d, compute_dtype)
+    tidx = jnp.clip(t_ints // cfg.time_bucket, 0, cfg.num_experts - 1)
+    return {"mods": mods, "final": final, "yk": yk, "yv": yv,
+            "freq_sliced": freq_sliced, "tidx": tidx}
+
+
+def moe_dit_apply_planned(params: dict, cfg: MoEDiTConfig, x: Array,
+                          mods: Array, final_mod: Array, t_idx,
+                          yk: Array, yv: Array, freq_sliced,
+                          compute_dtype=jnp.bfloat16) -> Array:
+    """moe_dit_apply consuming one step's plan slice. All samples share the
+    timestep (t_idx scalar) — the sampling case."""
+    x = x.transpose(0, 2, 1)
+    x = dense(params["proj_in"], x, compute_dtype)
+    cos, sin = precompute_rope(cfg.head_dim, x.shape[1],
+                               rope_scaling_factor=cfg.rope_scaling_factor,
+                               ntk_factor=cfg.ntk_factor)
+
+    def body(h, xs):
+        bp, mod, yk_d, yv_d, fs = xs
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = jnp.split(mod, 6, axis=-1)
+        ha = attention_apply(
+            bp["attention"],
+            modulate(rms_norm(bp["attention_norm"], h, cfg.norm_eps), s_msa, sc_msa),
+            cos, sin,
+            y_kv=(yk_d, yv_d),
+            n_heads=cfg.num_heads, n_kv_heads=cfg.n_kv_heads,
+            compute_dtype=compute_dtype,
+            use_flash=cfg.flash_for_len(h.shape[1]))
+        h = h + g_msa[:, None, :].astype(h.dtype) * ha
+        hf = moe_apply_shared_t(
+            bp["feed_forward"],
+            modulate(rms_norm(bp["ffn_norm"], h, cfg.norm_eps), s_mlp, sc_mlp),
+            t_idx, cfg, freq_sliced=fs, compute_dtype=compute_dtype)
+        return h + g_mlp[:, None, :].astype(h.dtype) * hf, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], mods, yk, yv, freq_sliced))
+
+    shift, scale = jnp.split(final_mod, 2, axis=-1)
+    x = modulate(layer_norm(x.astype(jnp.float32), eps=1e-6), shift, scale)
+    x = dense(params["final_layer"]["linear"], x)
     return x.transpose(0, 2, 1).astype(jnp.float32)

@@ -99,12 +99,14 @@ def _resblock_init(key: Array, in_ch: int, out_ch: int, k: int) -> dict:
     return p
 
 
-def _resblock(p: dict, x: Array, k: int) -> Array:
-    h = conv1d(p["conv1"], swish(_gn(p["norm1"], x)), padding=k // 2)
-    h = conv1d(p["conv2"], swish(_gn(p["norm2"], h)), padding=k // 2)
+def _resblock(p: dict, x: Array, k: int, compute_dtype=None) -> Array:
+    h = conv1d(p["conv1"], swish(_gn(p["norm1"], x)), padding=k // 2,
+               compute_dtype=compute_dtype)
+    h = conv1d(p["conv2"], swish(_gn(p["norm2"], h)), padding=k // 2,
+               compute_dtype=compute_dtype)
     if "nin_shortcut" in p:
-        x = conv1d(p["nin_shortcut"], x)
-    return x + h
+        x = conv1d(p["nin_shortcut"], x, compute_dtype=compute_dtype)
+    return x.astype(h.dtype) + h
 
 
 def _attnblock_init(key: Array, ch: int) -> dict:
@@ -118,21 +120,23 @@ def _attnblock_init(key: Array, ch: int) -> dict:
     }
 
 
-def _attnblock(p: dict, x: Array) -> Array:
+def _attnblock(p: dict, x: Array, compute_dtype=None) -> Array:
     """Single-head full attention over time. NOTE: matches the reference's
     scaling quirk — logits scaled by channels^-0.5 (the variable named `t` at
-    autoencoder1d.py:265-269 is actually the channel dim of the NCL tensor)."""
+    autoencoder1d.py:265-269 is actually the channel dim of the NCL tensor).
+    Softmax statistics stay fp32 regardless of compute_dtype."""
     h = _gn(p["norm"], x)
-    q = conv1d(p["q"], h)   # (B, C, T)
-    k = conv1d(p["k"], h)
-    v = conv1d(p["v"], h)
+    q = conv1d(p["q"], h, compute_dtype=compute_dtype)   # (B, C, T)
+    k = conv1d(p["k"], h, compute_dtype=compute_dtype)
+    v = conv1d(p["v"], h, compute_dtype=compute_dtype)
     b, c, t = q.shape
     logits = jnp.einsum("bci,bcj->bij", q, k,
                         preferred_element_type=jnp.float32) * (c ** -0.5)
     w = jax.nn.softmax(logits, axis=-1)
     h = jnp.einsum("bij,bcj->bci", w.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    return x + conv1d(p["proj_out"], h)
+    return x + conv1d(p["proj_out"], h,
+                      compute_dtype=compute_dtype).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -171,23 +175,25 @@ def encoder_init(key: Array, cfg: VAEConfig) -> dict:
     return p
 
 
-def encoder_apply(p: dict, cfg: VAEConfig, x: Array) -> Array:
+def encoder_apply(p: dict, cfg: VAEConfig, x: Array, compute_dtype=None) -> Array:
     k = cfg.kernel_size
-    h = conv1d(p["conv_in"], x, padding=k // 2)
+    h = conv1d(p["conv_in"], x, padding=k // 2, compute_dtype=compute_dtype)
     for lvl in range(cfg.num_layers):
         lp = p["down"][lvl]
         for i in range(cfg.num_res_blocks):
-            h = _resblock(lp["block"][i], h, k)
+            h = _resblock(lp["block"][i], h, k, compute_dtype)
             if lp["attn"]:
-                h = _attnblock(lp["attn"][i], h)
+                h = _attnblock(lp["attn"][i], h, compute_dtype)
         if lvl in cfg.down_layers:
             # stride-2 conv with asymmetric (0,1) pad (autoencoder1d.py:310-314)
-            h = conv1d(lp["downsample"], pad_1d(h, 0, 1), stride=2)
-    h = _resblock(p["mid"]["block_1"], h, k)
-    h = _attnblock(p["mid"]["attn_1"], h)
-    h = _resblock(p["mid"]["block_2"], h, k)
+            h = conv1d(lp["downsample"], pad_1d(h, 0, 1), stride=2,
+                       compute_dtype=compute_dtype)
+    h = _resblock(p["mid"]["block_1"], h, k, compute_dtype)
+    h = _attnblock(p["mid"]["attn_1"], h, compute_dtype)
+    h = _resblock(p["mid"]["block_2"], h, k, compute_dtype)
     h = swish(_gn(p["norm_out"], h))
-    return conv1d(p["conv_out"], h, padding=k // 2)
+    # conv_out emits the posterior moments — keep it fp32
+    return conv1d(p["conv_out"], h.astype(jnp.float32), padding=k // 2)
 
 
 # ---------------------------------------------------------------------------
@@ -225,26 +231,28 @@ def decoder_init(key: Array, cfg: VAEConfig) -> dict:
     return p
 
 
-def decoder_apply(p: dict, cfg: VAEConfig, z: Array) -> Array:
+def decoder_apply(p: dict, cfg: VAEConfig, z: Array, compute_dtype=None) -> Array:
     k = cfg.kernel_size
     up_layers = tuple(d + 1 for d in cfg.down_layers)
-    h = conv1d(p["conv_in"], z, padding=k // 2)
-    h = _resblock(p["mid"]["block_1"], h, 3)
-    h = _attnblock(p["mid"]["attn_1"], h)
-    h = _resblock(p["mid"]["block_2"], h, 3)
+    h = conv1d(p["conv_in"], z, padding=k // 2, compute_dtype=compute_dtype)
+    h = _resblock(p["mid"]["block_1"], h, 3, compute_dtype)
+    h = _attnblock(p["mid"]["attn_1"], h, compute_dtype)
+    h = _resblock(p["mid"]["block_2"], h, 3, compute_dtype)
     for lvl in reversed(range(cfg.num_layers)):
         lp = p["up"][lvl]
         for i in range(cfg.num_res_blocks + 1):
-            h = _resblock(lp["block"][i], h, 3)
+            h = _resblock(lp["block"][i], h, 3, compute_dtype)
             if lp["attn"]:
-                h = _attnblock(lp["attn"][i], h)
+                h = _attnblock(lp["attn"][i], h, compute_dtype)
         if lvl in up_layers:
             # 2x nearest upsample + conv3 (autoencoder1d.py:291-295)
             b, c, t = h.shape
             h = jnp.repeat(h, 2, axis=-1)
-            h = conv1d(lp["upsample"], h, padding=1)
+            h = conv1d(lp["upsample"], h, padding=1,
+                       compute_dtype=compute_dtype)
     h = swish(_gn(p["norm_out"], h))
-    h = conv1d(p["conv_out"], h, padding=k // 2)
+    # final mel projection in fp32 (feeds the log-mel parity gate)
+    h = conv1d(p["conv_out"], h.astype(jnp.float32), padding=k // 2)
     if cfg.tanh_out:
         h = jnp.tanh(h)
     return h
@@ -264,9 +272,10 @@ def vae_init(key: Array, cfg: VAEConfig) -> dict:
     }
 
 
-def vae_encode_moments(params: dict, cfg: VAEConfig, x: Array) -> Array:
+def vae_encode_moments(params: dict, cfg: VAEConfig, x: Array,
+                       compute_dtype=None) -> Array:
     """x (B, 80, T) -> moments (B, 2*embed_dim, T/2)."""
-    h = encoder_apply(params["encoder"], cfg, x)
+    h = encoder_apply(params["encoder"], cfg, x, compute_dtype)
     return conv1d(params["quant_conv"], h)
 
 
@@ -290,7 +299,13 @@ def gaussian_kl(moments: Array) -> Array:
     return 0.5 * jnp.sum(mean * mean + var - 1.0 - logvar, axis=(1, 2))
 
 
-def vae_decode(params: dict, cfg: VAEConfig, z: Array) -> Array:
-    """z (B, embed_dim, T/2) -> mel (B, 80, T)."""
+def vae_decode(params: dict, cfg: VAEConfig, z: Array,
+               compute_dtype=None) -> Array:
+    """z (B, embed_dim, T/2) -> mel (B, 80, T).
+
+    compute_dtype=bf16 runs the conv stack in bf16 (GroupNorm stats, softmax
+    and the final mel projection stay fp32) — the serving fast path; None
+    keeps full fp32 (the parity/`--fp32` path).
+    """
     h = conv1d(params["post_quant_conv"], z)
-    return decoder_apply(params["decoder"], cfg, h)
+    return decoder_apply(params["decoder"], cfg, h, compute_dtype)

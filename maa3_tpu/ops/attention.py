@@ -80,16 +80,29 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
                     x_mask: Optional[Array] = None,
                     y_mask: Optional[Array] = None,
                     n_heads: int = 8, n_kv_heads: Optional[int] = None,
-                    compute_dtype=None, use_flash: bool = False) -> Array:
-    """x: (B, L, D); y: (B, Ly, y_dim) context; cos/sin RoPE tables (>=L, hd/2)."""
+                    compute_dtype=None, use_flash: bool = False,
+                    y_kv: Optional[tuple] = None) -> Array:
+    """x: (B, L, D); y: (B, Ly, y_dim) context; cos/sin RoPE tables (>=L, hd/2).
+
+    y_kv: optional precomputed (yk, yv) context projections, each
+    (B, Ly, n_kv * head_dim) and already norm'd — the sampling fast path
+    (context is constant across ODE steps, so wk_y/wv_y GEMMs hoist out of
+    the time loop; see models/dit.py::dit_sample_plan)."""
     b, l, d = x.shape
     n_kv = n_heads if n_kv_heads is None else n_kv_heads
     head_dim = d // n_heads
     scale = 1.0 / math.sqrt(head_dim)
 
-    xq = dense(params["wq"], x, compute_dtype)
-    xk = dense(params["wk"], x, compute_dtype)
-    xv = dense(params["wv"], x, compute_dtype)
+    if "wqkv" in params:
+        # serving-time fused projection (utils.nprand.fuse_dit_gemms): one
+        # (D, q+k+v) GEMM — per-element numerics identical to the 3 GEMMs
+        qkv = dense(params["wqkv"], x, compute_dtype)
+        xq, xk, xv = jnp.split(qkv, [n_heads * head_dim,
+                                     (n_heads + n_kv) * head_dim], axis=-1)
+    else:
+        xq = dense(params["wq"], x, compute_dtype)
+        xk = dense(params["wk"], x, compute_dtype)
+        xv = dense(params["wv"], x, compute_dtype)
     if "q_norm" in params:
         xq = layer_norm(xq, params["q_norm"]["weight"], params["q_norm"]["bias"], eps=1e-5)
         xk = layer_norm(xk, params["k_norm"]["weight"], params["k_norm"]["bias"], eps=1e-5)
@@ -113,12 +126,17 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
     else:
         out = _sdpa(xq, xk, xv, scale, x_mask)
 
-    if "wk_y" in params and y is not None:  # gated cross-attention
-        yk = dense(params["wk_y"], y, compute_dtype)
-        if "ky_norm" in params:
-            yk = layer_norm(yk, params["ky_norm"]["weight"], params["ky_norm"]["bias"], eps=1e-5)
-        yv = dense(params["wv_y"], y, compute_dtype)
-        ly = y.shape[1]
+    if "wk_y" in params and (y is not None or y_kv is not None):
+        # gated cross-attention
+        if y_kv is not None:
+            yk, yv = y_kv
+        else:
+            yk = dense(params["wk_y"], y, compute_dtype)
+            if "ky_norm" in params:
+                yk = layer_norm(yk, params["ky_norm"]["weight"],
+                                params["ky_norm"]["bias"], eps=1e-5)
+            yv = dense(params["wv_y"], y, compute_dtype)
+        ly = yk.shape[1]
         yk = yk.reshape(b, ly, n_kv, head_dim)
         yv = yv.reshape(b, ly, n_kv, head_dim)
         if n_kv != n_heads:

@@ -41,6 +41,11 @@ def feed_forward_init(key: Array, dim: int, hidden_dim: Optional[int] = None,
 
 
 def feed_forward_apply(params: dict, x: Array, compute_dtype=None) -> Array:
-    x1 = dense(params["w1"], x, compute_dtype)
-    x3 = dense(params["w3"], x, compute_dtype)
+    if "w13" in params:
+        # serving-time fused gate+up projection (utils.nprand.fuse_dit_gemms)
+        h = dense(params["w13"], x, compute_dtype)
+        x1, x3 = jnp.split(h, 2, axis=-1)
+    else:
+        x1 = dense(params["w1"], x, compute_dtype)
+        x3 = dense(params["w3"], x, compute_dtype)
     return dense(params["w2"], silu(x1) * x3, compute_dtype)

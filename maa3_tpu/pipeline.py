@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from maa3_tpu.diffusion import cfm
-from maa3_tpu.models.dit import DiTConfig, dit_apply, dit_init
+from maa3_tpu.models.dit import (DiTConfig, dit_apply, dit_apply_planned,
+                                 dit_init, dit_sample_plan)
 from maa3_tpu.models.vae1d import VAEConfig, vae_decode, vae_encode_moments, gaussian_sample, vae_init
 from maa3_tpu.models.bigvgan import BigVGANConfig, bigvgan_apply, bigvgan_init
 
@@ -43,6 +44,9 @@ class T2APipeline:
     params: dict
     scale_factor: float = 1.0
     compute_dtype: object = jnp.bfloat16
+    # hoist per-step ODE constants (adaLN mods, context K/V) out of the scan;
+    # numerically equivalent to the plain path (tests/test_dit.py)
+    planned: bool = True
 
     # -- construction ------------------------------------------------------
 
@@ -71,6 +75,28 @@ class T2APipeline:
 
         return vel
 
+    def _sample_planned(self, dit_params, x0, context, uncond,
+                        guidance_scale, steps):
+        """CFG ODE with per-step constants hoisted out of the scan: the adaLN
+        modulations for the whole (known) timestep grid and the static
+        cross-attn context K/V are computed once, in batched GEMMs, instead
+        of once per step — ~0.5 GB/step less HBM traffic on the XL."""
+        cfg = self.dit_cfg
+        dtype = self.compute_dtype
+        ctx_in = jnp.concatenate([uncond, context], axis=0)
+        plan = dit_sample_plan(dit_params, cfg, cfm.planned_t_ints(steps),
+                               ctx_in, compute_dtype=dtype)
+        yk, yv = plan["yk"], plan["yv"]  # step-invariant
+
+        def step_vel(x_in, xs):
+            mods, final_mod = xs
+            return dit_apply_planned(dit_params, cfg, x_in, mods, final_mod,
+                                     yk, yv, compute_dtype=dtype)
+
+        return cfm.sample_cfg_planned(step_vel, x0,
+                                      (plan["mods"], plan["final"]),
+                                      guidance_scale, steps=steps)
+
     # NOTE: params are explicit jit ARGUMENTS (donated weights live on
     # device); closing over them would bake multi-GB constants into the
     # compiled program and explode compile time.
@@ -78,25 +104,36 @@ class T2APipeline:
     @partial(jax.jit, static_argnames=("self", "steps"))
     def _sample_latent(self, params, x0: Array, context: Array, uncond: Array,
                        guidance_scale: Array, steps: int = 25) -> Array:
+        if self.planned:
+            return self._sample_planned(params["dit"], x0, context, uncond,
+                                        guidance_scale, steps)
         return cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
                               context, uncond, guidance_scale, steps=steps)
 
     @partial(jax.jit, static_argnames=("self",))
     def _decode_mel(self, params, z: Array) -> Array:
         z = z / self.scale_factor
-        return vae_decode(params["vae"], self.vae_cfg, z)
+        return vae_decode(params["vae"], self.vae_cfg, z,
+                          compute_dtype=self.compute_dtype)
 
     @partial(jax.jit, static_argnames=("self",))
     def _vocode(self, params, mel: Array) -> Array:
-        return bigvgan_apply(params["vocoder"], self.voc_cfg, mel)
+        return bigvgan_apply(params["vocoder"], self.voc_cfg, mel,
+                             compute_dtype=self.compute_dtype)
 
     @partial(jax.jit, static_argnames=("self", "steps"))
     def _generate_fused(self, params, x0, context, uncond, guidance_scale,
                         steps=25):
-        z = cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
-                           context, uncond, guidance_scale, steps=steps)
-        mel = vae_decode(params["vae"], self.vae_cfg, z / self.scale_factor)
-        wav = bigvgan_apply(params["vocoder"], self.voc_cfg, mel)
+        if self.planned:
+            z = self._sample_planned(params["dit"], x0, context, uncond,
+                                     guidance_scale, steps)
+        else:
+            z = cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
+                               context, uncond, guidance_scale, steps=steps)
+        mel = vae_decode(params["vae"], self.vae_cfg, z / self.scale_factor,
+                         compute_dtype=self.compute_dtype)
+        wav = bigvgan_apply(params["vocoder"], self.voc_cfg, mel,
+                            compute_dtype=self.compute_dtype)
         return z, mel, wav
 
     # -- public API --------------------------------------------------------

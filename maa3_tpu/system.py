@@ -272,9 +272,45 @@ class MAA3System:
         x0 = jax.random.normal(key, shape, jnp.float32)
 
         def run(dit_params, x0, c, uc, s):
-            return cfm.sample_cfg(self._velocity_fn(dit_params), x0, c, uc, s,
-                                  steps=timesteps,
-                                  num_timesteps=self.spec.timesteps)
+            # planned path: per-step adaLN modulations + static context K/V
+            # (and for the MoE: freq-expert slices + shared-t expert select)
+            # hoisted out of the Euler scan; numerics identical to
+            # cfm.sample_cfg (tests/test_dit.py, tests/test_moe.py)
+            cfg = self.spec.dit
+            dtype = self.compute_dtype
+            ctx_in = jnp.concatenate([uc, c], axis=0)
+            t_ints = cfm.planned_t_ints(
+                timesteps, num_timesteps=self.spec.timesteps)
+            if self.spec.backbone_kind == "video_moe_dit":
+                from maa3_tpu.models.dit_moe import (moe_dit_apply_planned,
+                                                     moe_dit_sample_plan)
+                plan = moe_dit_sample_plan(dit_params, cfg, t_ints, ctx_in,
+                                           compute_dtype=dtype)
+
+                def step_vel(x_in, xs):
+                    mods, final_mod, tidx = xs
+                    return moe_dit_apply_planned(
+                        dit_params, cfg, x_in, mods, final_mod, tidx,
+                        plan["yk"], plan["yv"], plan["freq_sliced"],
+                        compute_dtype=dtype)
+
+                return cfm.sample_cfg_planned(
+                    step_vel, x0, (plan["mods"], plan["final"], plan["tidx"]),
+                    s, steps=timesteps)
+
+            from maa3_tpu.models.dit import dit_apply_planned, dit_sample_plan
+            plan = dit_sample_plan(dit_params, cfg, t_ints, ctx_in,
+                                   compute_dtype=dtype)
+
+            def step_vel(x_in, xs):
+                mods, final_mod = xs
+                return dit_apply_planned(dit_params, cfg, x_in, mods,
+                                         final_mod, plan["yk"], plan["yv"],
+                                         compute_dtype=dtype)
+
+            return cfm.sample_cfg_planned(
+                step_vel, x0, (plan["mods"], plan["final"]), s,
+                steps=timesteps)
 
         return self._jit(("sample_cfg", timesteps), run)(
             self.params["dit"], x0, cond, uncond, jnp.float32(scale))
@@ -300,7 +336,8 @@ class MAA3System:
         key = key if key is not None else jax.random.PRNGKey(0)
 
         def run(vae_params, mel, scale, key):
-            moments = vae_encode_moments(vae_params, self.spec.vae, mel)
+            moments = vae_encode_moments(vae_params, self.spec.vae, mel,
+                                         compute_dtype=self.compute_dtype)
             return gaussian_sample(moments, key if sample else None,
                                    sample=sample) * scale
 
@@ -309,12 +346,14 @@ class MAA3System:
 
     def decode_first_stage(self, z: Array) -> Array:
         def run(vae_params, z, scale):
-            return vae_decode(vae_params, self.spec.vae, z / scale)
+            return vae_decode(vae_params, self.spec.vae, z / scale,
+                              compute_dtype=self.compute_dtype)
         return self._jit("decode", run)(self.params["vae"], z,
                                         jnp.float32(self.scale_factor))
 
     def vocode(self, mel: Array) -> np.ndarray:
         def run(voc_params, m):
-            return bigvgan_apply(voc_params, self.voc_cfg, m)
+            return bigvgan_apply(voc_params, self.voc_cfg, m,
+                                 compute_dtype=self.compute_dtype)
         wav = self._jit("vocode", run)(self.params["vocoder"], mel)
         return np.asarray(wav)

@@ -41,3 +41,30 @@ def cast_matmul_weights(params, dtype):
         return leaf
 
     return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def fuse_dit_gemms(dit_params):
+    """Serving-time GEMM fusion for the DiT blocks: concatenate wq/wk/wv into
+    one `wqkv` projection and w1/w3 into one `w13` — one wide MXU GEMM per
+    site instead of 2-3 narrow ones (per-element numerics are identical: each
+    output column's dot product is unchanged). The original keys are removed;
+    ops/attention.py and ops/ffn.py detect the fused keys.
+
+    Apply AFTER checkpoint import / cast_matmul_weights (inference only —
+    the training/TP param specs use the unfused names).
+    """
+    import jax.numpy as jnp
+
+    p = dict(dit_params)
+    blocks = dict(p["blocks"])
+    att = dict(blocks["attention"])
+    att["wqkv"] = {"w": jnp.concatenate(
+        [att.pop("wq")["w"], att.pop("wk")["w"], att.pop("wv")["w"]], axis=-1)}
+    blocks["attention"] = att
+    ffn = dict(blocks["feed_forward"])
+    if "w1" in ffn:  # dense SwiGLU (text DiT); MoE expert stacks stay as-is
+        ffn["w13"] = {"w": jnp.concatenate(
+            [ffn.pop("w1")["w"], ffn.pop("w3")["w"]], axis=-1)}
+        blocks["feed_forward"] = ffn
+    p["blocks"] = blocks
+    return p

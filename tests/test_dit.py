@@ -105,3 +105,102 @@ def test_sample_cfg_guidance_combination():
     out = cfm.sample_cfg(vel, x0, c, uc, guidance_scale=3.0, steps=5)
     # e = 0 + 3*(1-0) = 3 constant velocity -> x = 3.0
     np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-5)
+
+
+def test_planned_sampling_matches_plain():
+    """The hoisted sampling path (dit_sample_plan + dit_apply_planned) must
+    reproduce sample_cfg exactly — same math, precomputed out of the scan."""
+    from maa3_tpu.models.dit import dit_sample_plan, dit_apply_planned
+
+    cfg = DiTConfig(in_channels=6, context_dim=32, hidden_size=64, depth=3,
+                    num_heads=4, max_len=64, qk_norm=True)
+    key = jax.random.PRNGKey(7)
+    params = dit_init(key, cfg)
+    # break the zero-init so the velocity is non-trivial
+    params["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(key, params["final_layer"]["linear"]["w"].shape))
+    params["blocks"]["attention"]["gate"] = (
+        0.5 * jnp.ones_like(params["blocks"]["attention"]["gate"]))
+
+    b, tlen, steps = 2, 16, 6
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, 6, tlen))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 9, 32))
+    uc = jnp.zeros_like(ctx)
+
+    def vel(x, t_int, context):
+        return dit_apply(params, cfg, x, t_int, context,
+                         compute_dtype=jnp.float32)
+
+    z_plain = cfm.sample_cfg(vel, x0, ctx, uc, 3.0, steps=steps)
+
+    ctx_in = jnp.concatenate([uc, ctx], axis=0)
+    plan = dit_sample_plan(params, cfg, cfm.planned_t_ints(steps), ctx_in,
+                           compute_dtype=jnp.float32)
+
+    def step_vel(x_in, xs):
+        mods, final_mod = xs
+        return dit_apply_planned(params, cfg, x_in, mods, final_mod,
+                                 plan["yk"], plan["yv"],
+                                 compute_dtype=jnp.float32)
+
+    z_planned = cfm.sample_cfg_planned(step_vel, x0,
+                                       (plan["mods"], plan["final"]),
+                                       3.0, steps=steps)
+    np.testing.assert_allclose(np.asarray(z_planned), np.asarray(z_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planned_pipeline_matches_unplanned():
+    """T2APipeline(planned=True) == planned=False end-to-end on the latent."""
+    import dataclasses as _dc
+    from maa3_tpu.pipeline import T2APipeline
+    from maa3_tpu.models.vae1d import VAEConfig
+    from maa3_tpu.models.bigvgan import BigVGANConfig
+
+    cfg = DiTConfig(in_channels=8, context_dim=16, hidden_size=64, depth=2,
+                    num_heads=4, max_len=64)
+    vae_cfg = VAEConfig(in_channels=16, out_ch=16, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=3,
+                        z_channels=8, embed_dim=8)
+    voc = BigVGANConfig(num_mels=16, upsample_rates=(2, 2),
+                        upsample_kernel_sizes=(4, 4),
+                        upsample_initial_channel=8,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 2),))
+    pipe = T2APipeline.random_init(jax.random.PRNGKey(0), cfg, vae_cfg, voc,
+                                   compute_dtype=jnp.float32)
+    pipe.params["dit"]["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(3),
+                                 pipe.params["dit"]["final_layer"]["linear"]["w"].shape))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 5, 16))
+    uc = jnp.zeros_like(ctx)
+    plain = _dc.replace(pipe, planned=False)
+
+    z1, _, _ = pipe.generate(ctx, uc, jax.random.PRNGKey(5), latent_len=16,
+                             steps=5)
+    z0, _, _ = plain.generate(ctx, uc, jax.random.PRNGKey(5), latent_len=16,
+                              steps=5)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gemms_match_unfused():
+    """fuse_dit_gemms (wqkv / w13 concatenation) must be numerically
+    identical — each output column's dot product is unchanged."""
+    from maa3_tpu.utils.nprand import fuse_dit_gemms
+
+    cfg = DiTConfig(in_channels=6, context_dim=32, hidden_size=64, depth=2,
+                    num_heads=4, max_len=64, qk_norm=True)
+    key = jax.random.PRNGKey(11)
+    params = dit_init(key, cfg)
+    params["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(key, params["final_layer"]["linear"]["w"].shape))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    t = jnp.array([100, 700])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 32))
+
+    out0 = dit_apply(params, cfg, x, t, ctx, compute_dtype=jnp.float32)
+    fused = fuse_dit_gemms(params)
+    out1 = dit_apply(fused, cfg, x, t, ctx, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-6, atol=1e-6)

@@ -79,3 +79,49 @@ def test_moe_time_bucket_routing_differs():
     o1 = moe_apply(params, x, jnp.array([0]), cfg, compute_dtype=jnp.float32)
     o2 = moe_apply(params, x, jnp.array([999]), cfg, compute_dtype=jnp.float32)
     assert float(jnp.abs(o1 - o2).max()) > 1e-4
+
+
+def test_moe_planned_sampling_matches_plain():
+    """moe_dit_sample_plan + moe_dit_apply_planned must reproduce the plain
+    CFG sampling exactly (all samples share each step's timestep)."""
+    from maa3_tpu.models.dit_moe import (moe_dit_init, moe_dit_apply,
+                                         moe_dit_sample_plan,
+                                         moe_dit_apply_planned)
+    from maa3_tpu.diffusion import cfm
+
+    cfg = MoEDiTConfig(in_channels=4, context_dim=24, hidden_size=32,
+                       depth=2, num_heads=4, num_experts=4, max_len=64)
+    key = jax.random.PRNGKey(3)
+    params = moe_dit_init(key, cfg)
+    params["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(key, params["final_layer"]["linear"]["w"].shape))
+    params["blocks"]["attention"]["gate"] = (
+        0.5 * jnp.ones_like(params["blocks"]["attention"]["gate"]))
+
+    b, tlen, steps = 2, 8, 6
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, 4, tlen))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 5, 24))
+    uc = jnp.zeros_like(ctx)
+
+    def vel(x, t_int, context):
+        return moe_dit_apply(params, cfg, x, t_int, context,
+                             compute_dtype=jnp.float32)
+
+    z_plain = cfm.sample_cfg(vel, x0, ctx, uc, 3.0, steps=steps)
+
+    ctx_in = jnp.concatenate([uc, ctx], axis=0)
+    plan = moe_dit_sample_plan(params, cfg, cfm.planned_t_ints(steps), ctx_in,
+                               compute_dtype=jnp.float32)
+
+    def step_vel(x_in, xs):
+        mods, final_mod, tidx = xs
+        return moe_dit_apply_planned(params, cfg, x_in, mods, final_mod, tidx,
+                                     plan["yk"], plan["yv"],
+                                     plan["freq_sliced"],
+                                     compute_dtype=jnp.float32)
+
+    z_planned = cfm.sample_cfg_planned(
+        step_vel, x0, (plan["mods"], plan["final"], plan["tidx"]), 3.0,
+        steps=steps)
+    np.testing.assert_allclose(np.asarray(z_planned), np.asarray(z_plain),
+                               rtol=2e-5, atol=2e-5)
