@@ -88,6 +88,20 @@ def main():
     ode_flops = STEPS * 2 * 2 * n_params * LATENT_LEN
     ode_mfu = ode_flops / ode_t / V5E_PEAK_BF16
 
+    # text-encoder latency (CLAP-BERT + T5-v1.1-large at real shapes): the
+    # conditioning tower runs once per prompt, outside the per-step hot loop
+    from maa3_tpu.models.clap import CLAPFLANConfig, clap_flan_init, clap_flan_encode
+    enc_cfg = CLAPFLANConfig()
+    enc_params = clap_flan_init(jax.random.PRNGKey(3), enc_cfg)
+    enc_params = cast_matmul_weights(enc_params, jnp.bfloat16)
+    ids = jnp.ones((1, enc_cfg.max_length), jnp.int32)
+
+    @jax.jit
+    def encode(p, a, b):
+        return clap_flan_encode(p, enc_cfg, a, b, compute_dtype=jnp.bfloat16)
+
+    enc_t = median_time(lambda a: encode(enc_params, a, ids), (ids,))
+
     # batched throughput sweep: secs-of-audio per wall-second per chip
     best_tp, best_b = 0.0, 0
     tp_by_batch = {}
@@ -118,6 +132,8 @@ def main():
         "vae_decode_ms": round(dec_t * 1e3, 1),
         "vocoder_ms": round(voc_t * 1e3, 1),
         "ode_mfu": round(ode_mfu, 3),
+        "text_encode_ms": round(enc_t * 1e3, 1),
+        "e2e_with_encode_s": round(p50 + enc_t, 4),
     }))
 
 

@@ -57,6 +57,10 @@ class DiTConfig:
     # Pallas flash-attention: None = auto (kernel when seq > 1024, where the
     # O(L^2) score matrix starts to dominate VMEM); True/False = force
     use_flash: "Optional[bool]" = None
+    # rematerialize each block in the backward pass (training memory lever:
+    # saves only the per-block residual stream instead of attention probs /
+    # FFN hiddens — trades ~1 extra forward for ~10x less activation HBM)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -189,6 +193,8 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
                          x_mask, context_mask, compute_dtype)
         return h, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = final_layer_apply(params["final_layer"], x, adaln_input)

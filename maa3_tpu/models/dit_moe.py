@@ -58,6 +58,7 @@ class MoEDiTConfig:
     num_experts: int = 4
     num_timesteps: int = 1000
     use_flash: "Optional[bool]" = None  # None = auto (seq > 1024)
+    remat: bool = False  # rematerialize blocks in backward (training memory)
 
     @property
     def head_dim(self) -> int:
@@ -274,6 +275,8 @@ def moe_dit_apply(params: dict, cfg: MoEDiTConfig, x: Array, t: Array,
                        t, cfg, compute_dtype)
         return h + g_mlp[:, None, :].astype(h.dtype) * hf, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = final_layer_apply(params["final_layer"], x, adaln_input)
     return x.transpose(0, 2, 1).astype(jnp.float32)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""XL (750M) train-step benchmark on one TPU chip: steps/sec, train MFU, and
+peak HBM with block rematerialization. Evidence that full-size training fits
+and runs at speed on a single 16 GB v5e (the reference trains on 8x A100,
+README.md:76). Prints one JSON line.
+
+Usage: python scripts/bench_train_step.py [--batch 8] [--latent 312] [--no-remat]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("MAA3_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
+
+import jax.numpy as jnp
+
+from maa3_tpu.utils import enable_compile_cache
+
+if jax.default_backend() != "cpu":
+    enable_compile_cache()
+
+from maa3_tpu.models.dit import DiTConfig, dit_init, dit_param_count
+from maa3_tpu.models.vae1d import VAEConfig, vae_init
+from maa3_tpu.train.optim import make_optimizer
+from maa3_tpu.train.step import create_train_state, make_train_step
+from maa3_tpu.utils.profiling import device_memory_stats
+
+V5E_PEAK_BF16 = 197e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--latent", type=int, default=312)  # 10 s clips
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--small", action="store_true")  # CPU smoke
+    opt = ap.parse_args()
+
+    if opt.small:
+        dit_cfg = DiTConfig(in_channels=20, context_dim=64, hidden_size=128,
+                            depth=2, num_heads=4, max_len=256,
+                            remat=not opt.no_remat)
+        vae_cfg = VAEConfig(ch=64, ch_mult=(1, 2))
+        ctx_len, ctx_dim = 10, 64
+        opt.latent = min(opt.latent, 64)
+    else:
+        dit_cfg = DiTConfig(in_channels=20, context_dim=1024,
+                            hidden_size=1152, depth=28, num_heads=16,
+                            max_len=1000, remat=not opt.no_remat)
+        vae_cfg = VAEConfig()
+        ctx_len, ctx_dim = 154, 1024
+
+    key = jax.random.PRNGKey(0)
+    dit_params = dit_init(key, dit_cfg)
+    vae_params = vae_init(jax.random.PRNGKey(1), vae_cfg)
+    n_params = dit_param_count(dit_params)
+
+    optimizer = make_optimizer()
+    state = create_train_state({"dit": dit_params}, {"vae": vae_params},
+                               optimizer, use_ema=False)
+    train_step = jax.jit(make_train_step(dit_cfg, vae_cfg, optimizer,
+                                         compute_dtype=jnp.bfloat16),
+                         donate_argnums=(0,))
+
+    batch = {
+        "mel": jax.random.normal(key, (opt.batch, vae_cfg.in_channels,
+                                       opt.latent * 2), jnp.float32),
+        "context": jax.random.normal(key, (opt.batch, ctx_len, ctx_dim),
+                                     jnp.float32),
+    }
+
+    state, m = train_step(state, batch, jax.random.PRNGKey(2))  # compile
+    jax.block_until_ready(m["loss"])
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, m = train_step(state, batch, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(m["loss"])
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    step_t = ts[len(ts) // 2]
+
+    # fwd 2PT, bwd ~2x fwd -> 6 * P * tokens per sample
+    flops = 6 * n_params * opt.latent * opt.batch
+    mem = device_memory_stats()
+    out = {
+        "model_params": n_params,
+        "batch": opt.batch,
+        "latent_len": opt.latent,
+        "remat": not opt.no_remat,
+        "step_ms": round(step_t * 1e3, 1),
+        "steps_per_sec": round(1.0 / step_t, 2),
+        "train_mfu": round(flops / step_t / V5E_PEAK_BF16, 3),
+        "samples_per_sec": round(opt.batch / step_t, 2),
+        "peak_hbm_gb": round((mem or {}).get("peak_bytes_in_use", 0) / 2**30, 2),
+        "loss": round(float(m["loss"]), 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

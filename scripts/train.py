@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel axis size")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize DiT blocks in backward (activation "
+                        "memory ~depth-fold smaller; needed for XL+ on 16GB)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods; "
                         "coordinator/process env vars per JAX conventions)")
@@ -113,6 +116,10 @@ def main():
     system = MAA3System.from_config(opt.base, opt.overrides,
                                     ckpt_path=opt.torch_ckpt or None,
                                     seed=opt.seed)
+    if opt.remat:
+        import dataclasses
+        system.spec = dataclasses.replace(
+            system.spec, dit=dataclasses.replace(system.spec.dit, remat=True))
     batch_size = opt.batch_size or cfg.get("data", {}).get("params", {}).get(
         "batch_size", 16)
     trainer = Trainer(system, batch_size=batch_size, ckpt_dir=opt.ckpt_dir,

@@ -146,3 +146,33 @@ def test_trainer_evaluate_and_ckpt_rotation(tmp_path):
         trainer.save_checkpoint(keep_last_k=2)
     steps = [d for d in os.listdir(tmp_path / "ckpt") if d.startswith("step_")]
     assert len(steps) == 2
+
+
+def test_remat_matches_plain_gradients():
+    """cfg.remat=True must not change loss or gradients — only the backward
+    memory strategy (jax.checkpoint on the block scan body)."""
+    import dataclasses
+    import numpy as np
+    from maa3_tpu.models.dit import DiTConfig, dit_init, dit_apply
+    from maa3_tpu.diffusion import cfm
+
+    cfg = DiTConfig(in_channels=4, context_dim=16, hidden_size=32, depth=2,
+                    num_heads=4, max_len=64)
+    key = jax.random.PRNGKey(0)
+    params = dit_init(key, cfg)
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16))
+
+    def loss(p, c):
+        vel = lambda x, t, cc: dit_apply(p, c, x, t, cc,
+                                         compute_dtype=jnp.float32)
+        l, _ = cfm.cfm_loss(vel, x1, ctx, jax.random.PRNGKey(3))
+        return l
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
