@@ -63,26 +63,25 @@ def main():
         res[f"up{i}_lax"] = timeit(f_up_lax, params["ups"][i], x)
         x = f_up_poly(params["ups"][i], x)
 
-        def stage_res(v, i=i):
+        def stage_res(rbs, v, i=i):
             xs = None
             for j in range(num_kernels):
-                rb = params["resblocks"][i * num_kernels + j]
-                y = _amp1_apply(rb, v, cfg.resblock_kernel_sizes[j],
+                y = _amp1_apply(rbs[j], v, cfg.resblock_kernel_sizes[j],
                                 cfg.resblock_dilation_sizes[j], cfg,
                                 jnp.float32)
                 xs = y if xs is None else xs + y
             return xs / num_kernels
 
+        rbs = params["resblocks"][i * num_kernels:(i + 1) * num_kernels]
         f_res = jax.jit(stage_res)
-        res[f"res{i}"] = timeit(f_res, x)
-        x = f_res(x)
+        res[f"res{i}"] = timeit(f_res, rbs, x)
+        x = f_res(rbs, x)
         res[f"shape{i}"] = list(x.shape)
 
     aa = _make_aa(cfg)
-    f_post = jax.jit(lambda v: conv1d(params["conv_post"],
-                                      aa(params["activation_post"])(v),
-                                      padding=3))
-    res["post"] = timeit(f_post, x)
+    f_post = jax.jit(lambda pp, ap, v: conv1d(pp, aa(ap)(v), padding=3))
+    res["post"] = timeit(f_post, params["conv_post"],
+                         params["activation_post"], x)
 
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
