@@ -95,13 +95,15 @@ def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
     return {"alpha": init((ch,), jnp.float32), "beta": init((ch,), jnp.float32)}
 
 
-def _make_aa(cfg: BigVGANConfig):
+def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False):
     """Anti-aliased activation closure over params.
 
-    Uses the fused shift-add polyphase formulation (ops/resample.py
-    FusedActivation1d) — numerically identical to the conv version but the
-    whole up2x -> snake -> down2x collapses into one XLA elementwise fusion
-    (the vocoder's bandwidth hot path).
+    Two formulations, numerically equivalent to the reference conv pipeline:
+    - XLA shift-add polyphase (ops/resample.py FusedActivation1d) — default;
+      differentiable, used by vocoder-GAN training and on CPU.
+    - Pallas fused kernel (ops/pallas_aa_snake.py) — inference fast path on
+      TPU: one HBM pass per activation instead of ~25 materialized slices on
+      the long-time/few-channel stages.
 
     `activation: lrelu` selects the plain HiFiGAN nonlinearity (no
     anti-aliasing) — the AudioLDM-variant vocoder family
@@ -111,14 +113,41 @@ def _make_aa(cfg: BigVGANConfig):
         def act(p):
             return lambda x: jnp.where(x >= 0, x, 0.1 * x)
     elif cfg.activation == "snake":
-        def act(p):
-            return FusedActivation1d(
-                lambda x: snake(x, p["alpha"], cfg.snake_logscale))
+        if use_pallas:
+            from maa3_tpu.ops.pallas_aa_snake import aa_snake_fused
+            def act(p):
+                return lambda x: aa_snake_fused(
+                    x, p["alpha"], logscale=cfg.snake_logscale, has_beta=False)
+        else:
+            def act(p):
+                return FusedActivation1d(
+                    lambda x: snake(x, p["alpha"], cfg.snake_logscale))
     else:
-        def act(p):
-            return FusedActivation1d(
-                lambda x: snake_beta(x, p["alpha"], p["beta"], cfg.snake_logscale))
+        if use_pallas:
+            from maa3_tpu.ops.pallas_aa_snake import aa_snake_fused
+            def act(p):
+                return lambda x: aa_snake_fused(
+                    x, p["alpha"], p["beta"], logscale=cfg.snake_logscale,
+                    has_beta=True)
+        else:
+            def act(p):
+                return FusedActivation1d(
+                    lambda x: snake_beta(x, p["alpha"], p["beta"], cfg.snake_logscale))
     return act
+
+
+def _auto_pallas_aa(pallas_aa) -> bool:
+    """Resolve the pallas_aa tri-state: None -> on for TPU-family backends.
+
+    The Pallas kernel is forward-only (no VJP); training passes False.
+    MAA3_PALLAS_AA=0/1 overrides."""
+    import os
+    env = os.environ.get("MAA3_PALLAS_AA")
+    if env is not None:
+        return env not in ("0", "false", "")
+    if pallas_aa is not None:
+        return bool(pallas_aa)
+    return jax.default_backend() != "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -140,8 +169,8 @@ def _amp1_init(key: Array, ch: int, k: int, dilations: Sequence[int],
 
 
 def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
-                cfg: BigVGANConfig, compute_dtype) -> Array:
-    aa = _make_aa(cfg)
+                cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False) -> Array:
+    aa = _make_aa(cfg, use_pallas)
     # activations alternate [::2] / [1::2] (models.py:75)
     for i, d in enumerate(dilations):
         xt = aa(p["acts"][2 * i])(x)
@@ -164,8 +193,8 @@ def _amp2_init(key: Array, ch: int, k: int, dilations: Sequence[int],
 
 
 def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
-                cfg: BigVGANConfig, compute_dtype) -> Array:
-    aa = _make_aa(cfg)
+                cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False) -> Array:
+    aa = _make_aa(cfg, use_pallas)
     for i, d in enumerate(dilations):
         xt = aa(p["acts"][i])(x)
         xt = conv1d(p["convs"][i], xt, padding=_get_padding(k, d), dilation=d,
@@ -206,14 +235,17 @@ def bigvgan_init(key: Array, cfg: BigVGANConfig) -> dict:
 
 
 def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
-                  compute_dtype=jnp.float32) -> Array:
+                  compute_dtype=jnp.float32, pallas_aa=None) -> Array:
     """mel (B, num_mels, T) -> wav (B, T * prod(upsample_rates)).
 
-    Parity: BigVGAN.forward (models.py:183-205).
+    Parity: BigVGAN.forward (models.py:183-205). pallas_aa: tri-state fast
+    path for the anti-aliased activations (None = auto: on for TPU backends;
+    forward-only, so training callers pass False).
     """
+    use_pallas = _auto_pallas_aa(pallas_aa)
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
-    aa = _make_aa(cfg)
+    aa = _make_aa(cfg, use_pallas)
 
     x = conv1d(params["conv_pre"], mel, padding=3, compute_dtype=compute_dtype)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -230,7 +262,8 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
         for j in range(num_kernels):
             rb = params["resblocks"][i * num_kernels + j]
             y = amp_apply(rb, x, cfg.resblock_kernel_sizes[j],
-                          cfg.resblock_dilation_sizes[j], cfg, compute_dtype)
+                          cfg.resblock_dilation_sizes[j], cfg, compute_dtype,
+                          use_pallas)
             xs = y if xs is None else xs + y
         x = xs / num_kernels
     x = aa(params["activation_post"])(x)

@@ -67,7 +67,7 @@ def make_vocoder_gan_steps(cfg: BigVGANConfig, mel_cfg: MelConfig,
 
     def gen_step(state: VocoderGanState, batch):
         def loss_fn(gen_params):
-            y_hat = bigvgan_apply(gen_params, cfg, batch["mel"])
+            y_hat = bigvgan_apply(gen_params, cfg, batch["mel"], pallas_aa=False)
             mel_hat = mel_spectrogram(y_hat, mel_cfg)
             mel_ref = mel_spectrogram(batch["wav"], mel_cfg)
             mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_ref))
@@ -93,7 +93,7 @@ def make_vocoder_gan_steps(cfg: BigVGANConfig, mel_cfg: MelConfig,
 
     def disc_step(state: VocoderGanState, batch):
         y_hat = jax.lax.stop_gradient(
-            bigvgan_apply(state.gen_params, cfg, batch["mel"]))
+            bigvgan_apply(state.gen_params, cfg, batch["mel"], pallas_aa=False))
 
         def loss_fn(disc):
             mpd_r, _ = mpd_apply(disc["mpd"], batch["wav"])

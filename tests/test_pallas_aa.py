@@ -1,0 +1,64 @@
+"""Pallas fused anti-aliased snake kernel vs the XLA shift-add oracle.
+
+The oracle (ops/resample.py::FusedActivation1d) is itself parity-tested
+against the reference's alias_free_torch pipeline (test_vocoder.py), so
+matching it transitively matches vocoder/bigvgan/alias_free_torch/act.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maa3_tpu.models.bigvgan import snake, snake_beta
+from maa3_tpu.ops.pallas_aa_snake import aa_snake_fused
+from maa3_tpu.ops.resample import FusedActivation1d
+
+
+def _oracle(x, alpha, beta, logscale, has_beta):
+    if has_beta:
+        act = FusedActivation1d(lambda v: snake_beta(v, alpha, beta, logscale))
+    else:
+        act = FusedActivation1d(lambda v: snake(v, alpha, logscale))
+    return act(x)
+
+
+@pytest.mark.parametrize("shape,tile", [
+    ((1, 8, 256), 128),     # multi-tile, exact division
+    ((2, 8, 300), 128),     # ragged last tile, batch > 1
+    ((1, 24, 640), 8192),   # single tile wider than T
+    ((1, 12, 384), 128),    # rows not a multiple of the row block
+    ((1, 8, 258), 128),     # ragged tail < 5: falls back to a single tile
+    ((1, 8, 261), 128),     # ragged tail == 5: smallest multi-tile tail
+    ((1, 8, 516), 512),     # tile-shrink loop engages (516 % 512 == 4 -> 384)
+])
+@pytest.mark.parametrize("has_beta,logscale", [(True, True), (False, False)])
+def test_matches_shift_add_oracle(shape, tile, has_beta, logscale):
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, C, T = shape
+    x = jax.random.normal(k1, shape, jnp.float32) * 3.0
+    alpha = jax.random.normal(k2, (C,)) * 0.5
+    beta = jax.random.normal(k3, (C,)) * 0.5 if has_beta else None
+
+    want = _oracle(x, alpha, beta, logscale, has_beta)
+    got = aa_snake_fused(x, alpha, beta, logscale=logscale,
+                         has_beta=has_beta, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_bfloat16_io_fp32_snake():
+    """bf16 storage, fp32 snake island — matches the oracle's bf16 path."""
+    key = jax.random.PRNGKey(7)
+    x = (jax.random.normal(key, (1, 16, 256), jnp.float32) * 3.0
+         ).astype(jnp.bfloat16)
+    alpha = jnp.linspace(-0.5, 0.5, 16)
+    beta = jnp.linspace(0.4, -0.4, 16)
+    want = _oracle(x, alpha, beta, True, True)
+    got = aa_snake_fused(x, alpha, beta, logscale=True, has_beta=True,
+                         tile=128, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.05, rtol=0.05)
