@@ -61,6 +61,11 @@ class DiTConfig:
     # saves only the per-block residual stream instead of attention probs /
     # FFN hiddens — trades ~1 extra forward for ~10x less activation HBM)
     remat: bool = False
+    # remat granularity: "nothing" recomputes the whole block (max memory
+    # savings); "dots_no_batch" keeps every weight-GEMM output and recomputes
+    # only attention scores/probs + elementwise (flash-attention-style
+    # policy: ~zero extra GEMM FLOPs, still drops the O(L^2) ephemerals)
+    remat_policy: str = "nothing"
 
     @property
     def head_dim(self) -> int:
@@ -194,7 +199,12 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
         return h, None
 
     if cfg.remat:
-        body = jax.checkpoint(body)
+        if cfg.remat_policy == "dots_no_batch":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        else:
+            body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = final_layer_apply(params["final_layer"], x, adaln_input)

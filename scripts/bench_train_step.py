@@ -42,20 +42,24 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--latent", type=int, default=312)  # 10 s clips
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat_policy", type=str, default="nothing",
+                    choices=["nothing", "dots_no_batch"])
     ap.add_argument("--small", action="store_true")  # CPU smoke
     opt = ap.parse_args()
 
     if opt.small:
         dit_cfg = DiTConfig(in_channels=20, context_dim=64, hidden_size=128,
                             depth=2, num_heads=4, max_len=256,
-                            remat=not opt.no_remat)
+                            remat=not opt.no_remat,
+                            remat_policy=opt.remat_policy)
         vae_cfg = VAEConfig(ch=64, ch_mult=(1, 2))
         ctx_len, ctx_dim = 10, 64
         opt.latent = min(opt.latent, 64)
     else:
         dit_cfg = DiTConfig(in_channels=20, context_dim=1024,
                             hidden_size=1152, depth=28, num_heads=16,
-                            max_len=1000, remat=not opt.no_remat)
+                            max_len=1000, remat=not opt.no_remat,
+                            remat_policy=opt.remat_policy)
         vae_cfg = VAEConfig()
         ctx_len, ctx_dim = 154, 1024
 
@@ -97,6 +101,7 @@ def main():
         "batch": opt.batch,
         "latent_len": opt.latent,
         "remat": not opt.no_remat,
+        "remat_policy": opt.remat_policy,
         "step_ms": round(step_t * 1e3, 1),
         "steps_per_sec": round(1.0 / step_t, 2),
         "train_mfu": round(flops / step_t / V5E_PEAK_BF16, 3),
