@@ -136,18 +136,22 @@ def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False):
     return act
 
 
-def _auto_pallas_aa(pallas_aa) -> bool:
-    """Resolve the pallas_aa tri-state: None -> on for TPU-family backends.
+def _auto_pallas_aa(pallas_aa, batch: int) -> bool:
+    """Resolve the pallas_aa tri-state. MAA3_PALLAS_AA=0/1 overrides.
 
-    The Pallas kernel is forward-only (no VJP); training passes False.
-    MAA3_PALLAS_AA=0/1 overrides."""
+    Measured on v5e (XL pipeline, 10 s clips): at batch 1 XLA wins (it fuses
+    the shift-add activations into the neighbouring convs; a pallas_call is a
+    fusion barrier), at batch >= 4 the one-pass kernel wins (~23 % vocoder
+    latency at batch 8). Auto therefore keys on the (static) batch size and
+    requires a TPU backend. The Pallas kernel is forward-only (no VJP);
+    training passes False."""
     import os
     env = os.environ.get("MAA3_PALLAS_AA")
     if env is not None:
         return env not in ("0", "false", "")
     if pallas_aa is not None:
         return bool(pallas_aa)
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() != "cpu" and batch >= 4
 
 
 # ---------------------------------------------------------------------------
@@ -168,17 +172,34 @@ def _amp1_init(key: Array, ch: int, k: int, dilations: Sequence[int],
     }
 
 
+def _fused_site(act_p: dict, conv_p: dict, x: Array, k: int, d: int,
+                cfg: BigVGANConfig) -> Array:
+    """One act->conv site through the fused Pallas kernel (ops/pallas_amp)."""
+    from maa3_tpu.ops.pallas_amp import conv_snake_fused
+    return conv_snake_fused(x, act_p["alpha"], act_p.get("beta"),
+                            conv_p["w"], conv_p["b"], k=k, dilation=d,
+                            logscale=cfg.snake_logscale,
+                            has_beta=cfg.activation != "snake")
+
+
 def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
-                cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False) -> Array:
+                cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
+                fused_cutoff: int = 0) -> Array:
+    fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
     aa = _make_aa(cfg, use_pallas)
     # activations alternate [::2] / [1::2] (models.py:75)
     for i, d in enumerate(dilations):
-        xt = aa(p["acts"][2 * i])(x)
-        xt = conv1d(p["convs1"][i], xt, padding=_get_padding(k, d), dilation=d,
-                    compute_dtype=compute_dtype)
-        xt = aa(p["acts"][2 * i + 1])(xt)
-        xt = conv1d(p["convs2"][i], xt, padding=_get_padding(k, 1),
-                    compute_dtype=compute_dtype)
+        if fused:
+            xc = x.astype(compute_dtype)
+            xt = _fused_site(p["acts"][2 * i], p["convs1"][i], xc, k, d, cfg)
+            xt = _fused_site(p["acts"][2 * i + 1], p["convs2"][i], xt, k, 1, cfg)
+        else:
+            xt = aa(p["acts"][2 * i])(x)
+            xt = conv1d(p["convs1"][i], xt, padding=_get_padding(k, d),
+                        dilation=d, compute_dtype=compute_dtype)
+            xt = aa(p["acts"][2 * i + 1])(xt)
+            xt = conv1d(p["convs2"][i], xt, padding=_get_padding(k, 1),
+                        compute_dtype=compute_dtype)
         x = xt + x
     return x
 
@@ -193,12 +214,18 @@ def _amp2_init(key: Array, ch: int, k: int, dilations: Sequence[int],
 
 
 def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
-                cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False) -> Array:
+                cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
+                fused_cutoff: int = 0) -> Array:
+    fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
     aa = _make_aa(cfg, use_pallas)
     for i, d in enumerate(dilations):
-        xt = aa(p["acts"][i])(x)
-        xt = conv1d(p["convs"][i], xt, padding=_get_padding(k, d), dilation=d,
-                    compute_dtype=compute_dtype)
+        if fused:
+            xt = _fused_site(p["acts"][i], p["convs"][i],
+                             x.astype(compute_dtype), k, d, cfg)
+        else:
+            xt = aa(p["acts"][i])(x)
+            xt = conv1d(p["convs"][i], xt, padding=_get_padding(k, d),
+                        dilation=d, compute_dtype=compute_dtype)
         x = xt + x
     return x
 
@@ -238,11 +265,18 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
                   compute_dtype=jnp.float32, pallas_aa=None) -> Array:
     """mel (B, num_mels, T) -> wav (B, T * prod(upsample_rates)).
 
-    Parity: BigVGAN.forward (models.py:183-205). pallas_aa: tri-state fast
-    path for the anti-aliased activations (None = auto: on for TPU backends;
-    forward-only, so training callers pass False).
+    Parity: BigVGAN.forward (models.py:183-205). pallas_aa: tri-state Pallas
+    fast path (None = auto; forward-only, so training callers pass False).
+    When on: act->conv sites on narrow stages (C <= MAA3_AMP_FUSED_CUTOFF,
+    default 96) run the fused snake+im2col+MXU kernel (ops/pallas_amp); wide
+    stages use the one-pass AA kernel (ops/pallas_aa_snake) at batch >= 4.
     """
-    use_pallas = _auto_pallas_aa(pallas_aa)
+    import os
+    use_pallas = _auto_pallas_aa(pallas_aa, mel.shape[0])
+    fused_cutoff = 0
+    if pallas_aa is not False and jax.default_backend() != "cpu" \
+            and os.environ.get("MAA3_PALLAS_AA") not in ("0", "false", ""):
+        fused_cutoff = int(os.environ.get("MAA3_AMP_FUSED_CUTOFF", "96"))
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
     aa = _make_aa(cfg, use_pallas)
@@ -263,9 +297,14 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
             rb = params["resblocks"][i * num_kernels + j]
             y = amp_apply(rb, x, cfg.resblock_kernel_sizes[j],
                           cfg.resblock_dilation_sizes[j], cfg, compute_dtype,
-                          use_pallas)
+                          use_pallas, fused_cutoff)
             xs = y if xs is None else xs + y
         x = xs / num_kernels
-    x = aa(params["activation_post"])(x)
-    x = conv1d(params["conv_post"], x, padding=3, compute_dtype=compute_dtype)
+    if cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff:
+        x = _fused_site(params["activation_post"], params["conv_post"],
+                        x.astype(compute_dtype), 7, 1, cfg)
+    else:
+        x = aa(params["activation_post"])(x)
+        x = conv1d(params["conv_post"], x, padding=3,
+                   compute_dtype=compute_dtype)
     return jnp.tanh(x)[:, 0, :]

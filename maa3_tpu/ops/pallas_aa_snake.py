@@ -117,12 +117,14 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
 def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                    logscale: bool = True, has_beta: bool = True,
                    tile: int = 8192, n_rows: Optional[int] = None,
-                   interpret: bool = False) -> Array:
+                   interpret: Optional[bool] = None) -> Array:
     """Fused Activation1d(snake[_beta]) over (B, C, T); returns (B, C, T).
 
     Drop-in fast path for FusedActivation1d(snake_beta/snake) with the 2x /
     12-tap configuration BigVGAN uses (vocoder/bigvgan/models.py:60-71).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B, C, T = x.shape
     # effective fp32 snake coefficients (activations.py:50-55, 106-114)
     af = alpha.astype(jnp.float32)
