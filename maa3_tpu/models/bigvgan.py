@@ -268,15 +268,16 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
     Parity: BigVGAN.forward (models.py:183-205). pallas_aa: tri-state Pallas
     fast path (None = auto; forward-only, so training callers pass False).
     When on: act->conv sites on narrow stages (C <= MAA3_AMP_FUSED_CUTOFF,
-    default 96) run the fused snake+im2col+MXU kernel (ops/pallas_amp); wide
+    default 192) run the fused snake+im2col+MXU kernel (ops/pallas_amp); wide
     stages use the one-pass AA kernel (ops/pallas_aa_snake) at batch >= 4.
     """
     import os
     use_pallas = _auto_pallas_aa(pallas_aa, mel.shape[0])
+    # both Pallas paths lose at batch 1 (XLA's act-into-conv fusion plus
+    # per-program overheads win on small data; measured on v5e) — one gate
     fused_cutoff = 0
-    if pallas_aa is not False and jax.default_backend() != "cpu" \
-            and os.environ.get("MAA3_PALLAS_AA") not in ("0", "false", ""):
-        fused_cutoff = int(os.environ.get("MAA3_AMP_FUSED_CUTOFF", "96"))
+    if use_pallas:
+        fused_cutoff = int(os.environ.get("MAA3_AMP_FUSED_CUTOFF", "192"))
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
     aa = _make_aa(cfg, use_pallas)

@@ -142,7 +142,7 @@ def _kernel(a_ref, ib_ref, w_ref, b_ref, x_ref, lh_ref, rh_ref, out_ref,
 def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
                      w: Array, b: Array, *, k: int, dilation: int = 1,
                      logscale: bool = True, has_beta: bool = True,
-                     tile: int = 2048, interpret: Optional[bool] = None) -> Array:
+                     tile: int = 8192, interpret: Optional[bool] = None) -> Array:
     """Fused Conv1d(Activation1d(snake[_beta])(x)) over (B, C, T).
 
     w: (C_out, C_in, k) torch-layout conv weight; b: (C_out,).
@@ -171,6 +171,12 @@ def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
     # taps-major weight: (C_out, k*C_in), row-block j holds tap j
     w2 = w.transpose(0, 2, 1).reshape(c_out, k * C).astype(acc_dtype)
 
+    # VMEM budget: the im2col buffer is (k*C, tile) and the FIR scratches are
+    # O(C*tile) fp32 — keep C*tile bounded so C=96/k=11 stages fit alongside
+    # Mosaic's double-buffered in/out blocks
+    import os
+    budget = int(os.environ.get("MAA3_AMP_TILE_BUDGET", "98304"))
+    tile = min(tile, max(128, (budget // C) // 128 * 128))
     tile = min(tile, max(128, -(-T // 128) * 128))
     while T % tile in range(1, min(E + 5, _HB) + 1) and tile > 128:
         tile -= 128
