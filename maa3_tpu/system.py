@@ -58,6 +58,7 @@ class MAA3System:
         self.t5_tokenizer = load_tokenizer(
             os.path.join(tk_root, "t5") if tk_root else None, "t5")
         self._jit_cache: dict = {}
+        self._serving_dit = None  # lazily fused/cast copy (see serving_dit)
 
     # -- construction ------------------------------------------------------
 
@@ -212,6 +213,24 @@ class MAA3System:
         from maa3_tpu.utils.nprand import cast_matmul_weights
         self.params["dit"] = cast_matmul_weights(self.params["dit"],
                                                  jnp.bfloat16)
+        self._serving_dit = None
+
+    def serving_dit(self) -> dict:
+        """DiT params as the samplers consume them. In bf16 mode this is a
+        lazily-built fast copy: matmul weights cast to bf16 (halves weight
+        HBM reads per ODE step) and wq/wk/wv + w1/w3 concatenated into single
+        wide GEMMs (fuse_dit_gemms; numerics identical). `self.params["dit"]`
+        stays canonical/unfused for checkpointing and inspection."""
+        if self._serving_dit is None:
+            p = self.params["dit"]
+            if self.compute_dtype == jnp.bfloat16:
+                from maa3_tpu.utils.nprand import (cast_matmul_weights,
+                                                   fuse_dit_gemms)
+                p = cast_matmul_weights(p, jnp.bfloat16)
+                if "wq" in p["blocks"]["attention"]:
+                    p = fuse_dit_gemms(p)
+            self._serving_dit = p
+        return self._serving_dit
 
     # -- conditioning ------------------------------------------------------
 
@@ -313,7 +332,7 @@ class MAA3System:
                 steps=timesteps)
 
         return self._jit(("sample_cfg", timesteps), run)(
-            self.params["dit"], x0, cond, uncond, jnp.float32(scale))
+            self.serving_dit(), x0, cond, uncond, jnp.float32(scale))
 
     def sample(self, cond: Array, key: Array, shape=None,
                timesteps: int = 25) -> Array:
@@ -327,7 +346,7 @@ class MAA3System:
                               steps=timesteps,
                               num_timesteps=self.spec.timesteps)
 
-        return self._jit(("sample", timesteps), run)(self.params["dit"], x0, cond)
+        return self._jit(("sample", timesteps), run)(self.serving_dit(), x0, cond)
 
     # -- first stage / vocoder --------------------------------------------
 

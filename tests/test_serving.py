@@ -98,3 +98,34 @@ def test_system_sample_uncond_path():
     assert z.shape == (2, 4, 16)
     z_cfg = system.sample_cfg(ctx, 3.0, jnp.zeros_like(ctx), key, timesteps=4)
     assert float(jnp.abs(z - z_cfg).max()) > 1e-5
+
+
+def test_system_serving_dit_fuses_lazily():
+    """system.sample_cfg consumes a fused+bf16 copy; canonical params stay
+    unfused (the bench fast path is the product fast path)."""
+    from maa3_tpu.config import ModelSpec
+    from maa3_tpu.system import MAA3System
+
+    spec = ModelSpec(kind="cfm", backbone_kind="text_dit", dit=CFG,
+                     vae=None, cond_kind="clap_flan", cond_params_cfg={},
+                     mel_dim=4, mel_length=16)
+    key = jax.random.PRNGKey(0)
+    sys_ = MAA3System(spec, {"dit": _nonzero_params(key)},
+                      compute_dtype=jnp.bfloat16)
+    sp = sys_.serving_dit()
+    assert "wqkv" in sp["blocks"]["attention"]
+    assert "wq" not in sp["blocks"]["attention"]
+    assert sp["blocks"]["attention"]["wqkv"]["w"].dtype == jnp.bfloat16
+    # canonical params untouched
+    assert "wq" in sys_.params["dit"]["blocks"]["attention"]
+    assert sys_.params["dit"]["blocks"]["attention"]["wq"]["w"].dtype == jnp.float32
+
+    ctx = jax.random.normal(key, (1, 5, 16))
+    z = sys_.sample_cfg(ctx, 3.0, jnp.zeros_like(ctx), jax.random.PRNGKey(1),
+                        timesteps=3)
+    assert z.shape == (1, 4, 16) and bool(jnp.isfinite(z).all())
+
+    # fp32 parity mode keeps the exact unfused weights
+    sys32 = MAA3System(spec, {"dit": _nonzero_params(key)},
+                       compute_dtype=jnp.float32)
+    assert "wq" in sys32.serving_dit()["blocks"]["attention"]
