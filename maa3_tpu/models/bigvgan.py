@@ -146,11 +146,11 @@ def _auto_pallas_aa(pallas_aa, batch: int) -> bool:
     requires a TPU backend. The Pallas kernel is forward-only (no VJP);
     training passes False."""
     import os
+    if pallas_aa is not None:  # explicit caller choice wins (training MUST
+        return bool(pallas_aa)  # be able to force the differentiable path)
     env = os.environ.get("MAA3_PALLAS_AA")
     if env is not None:
-        return env not in ("0", "false", "")
-    if pallas_aa is not None:
-        return bool(pallas_aa)
+        return env.strip().lower() not in ("0", "false", "off", "no", "")
     return jax.default_backend() != "cpu" and batch >= 4
 
 

@@ -203,8 +203,11 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
             body = jax.checkpoint(
                 body,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-        else:
+        elif cfg.remat_policy == "nothing":
             body = jax.checkpoint(body)
+        else:
+            raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r} "
+                             "(expected 'nothing' or 'dots_no_batch')")
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = final_layer_apply(params["final_layer"], x, adaln_input)

@@ -45,6 +45,34 @@ _F_DN = tuple(kaiser_sinc_filter1d(0.25, 0.3, 12).tolist())
 _HB = 128  # halo block width (lane-aligned); only 5 columns of each are used
 
 
+def snake_coeffs(alpha, beta, logscale: bool, has_beta: bool):
+    """Effective fp32 snake coefficients (activations.py:50-55, 106-114):
+    returns (alpha_eff, 1/(beta_eff + 1e-9)); snake (no beta) divides by
+    alpha itself."""
+    af = alpha.astype(jnp.float32)
+    if has_beta:
+        bf = beta.astype(jnp.float32)
+        if logscale:
+            af, bf = jnp.exp(af), jnp.exp(bf)
+        return af, 1.0 / (bf + 1e-9)
+    if logscale:
+        af = jnp.exp(af)
+    return af, 1.0 / (af + 1e-9)
+
+
+def pick_tile(T: int, tile: int, max_bad_tail: int) -> int:
+    """Choose a 128-aligned time tile whose ragged tail is 0 or large enough
+    that an overhanging right-halo block cannot leak garbage into valid
+    outputs of the second-to-last tile (tails 1..max_bad_tail are bad).
+    Falls back to one tile covering all of T."""
+    tile = min(tile, max(128, -(-T // 128) * 128))
+    while T % tile in range(1, max_bad_tail + 1) and tile > 128:
+        tile -= 128
+    if T % tile in range(1, max_bad_tail + 1):
+        tile = max(128, -(-T // 128) * 128)
+    return tile
+
+
 def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
             tile: int, n_rows: int, t_total: int):
     """One (n_rows, tile) output block.
@@ -126,29 +154,11 @@ def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, C, T = x.shape
-    # effective fp32 snake coefficients (activations.py:50-55, 106-114)
-    af = alpha.astype(jnp.float32)
-    if has_beta:
-        bf = beta.astype(jnp.float32)
-        if logscale:
-            af, bf = jnp.exp(af), jnp.exp(bf)
-        inv_b = 1.0 / (bf + 1e-9)
-    else:
-        if logscale:
-            af = jnp.exp(af)
-        inv_b = 1.0 / (af + 1e-9)
+    af, inv_b = snake_coeffs(alpha, beta, logscale, has_beta)
 
     if n_rows is None:
         n_rows = 16 if x.dtype == jnp.bfloat16 else 8
-    tile = min(tile, max(128, -(-T // 128) * 128))
-    # a ragged tail of 1..4 columns would let garbage from an overhanging
-    # right-halo block reach valid outputs of the second-to-last tile; shrink
-    # the tile until the tail is 0 or >= 5 (always possible: tile=128 -> the
-    # ragged tail < 5 only if T % 128 in 1..4, handled by the tile=T branch)
-    while T % tile in (1, 2, 3, 4) and tile > 128:
-        tile -= 128
-    if T % tile in (1, 2, 3, 4):
-        tile = max(128, -(-T // 128) * 128)  # single tile covers all of T
+    tile = pick_tile(T, tile, 4)  # the halo uses 5 cols of the next block
     n_tiles = -(-T // tile)
     rows = B * C
 

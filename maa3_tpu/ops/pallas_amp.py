@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maa3_tpu.ops.pallas_aa_snake import _F_UP, _F_DN
+from maa3_tpu.ops.pallas_aa_snake import (_F_UP, _F_DN,
+                                          pick_tile, snake_coeffs)
 
 Array = jax.Array
 
@@ -155,17 +156,7 @@ def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
     B, C, T = x.shape
     c_out = w.shape[0]
     E = (k * dilation - dilation) // 2
-
-    af = alpha.astype(jnp.float32)
-    if has_beta:
-        bf = beta.astype(jnp.float32)
-        if logscale:
-            af, bf = jnp.exp(af), jnp.exp(bf)
-        inv_b = 1.0 / (bf + 1e-9)
-    else:
-        if logscale:
-            af = jnp.exp(af)
-        inv_b = 1.0 / (af + 1e-9)
+    af, inv_b = snake_coeffs(alpha, beta, logscale, has_beta)
 
     acc_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     # taps-major weight: (C_out, k*C_in), row-block j holds tap j
@@ -177,11 +168,7 @@ def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
     import os
     budget = int(os.environ.get("MAA3_AMP_TILE_BUDGET", "98304"))
     tile = min(tile, max(128, (budget // C) // 128 * 128))
-    tile = min(tile, max(128, -(-T // 128) * 128))
-    while T % tile in range(1, min(E + 5, _HB) + 1) and tile > 128:
-        tile -= 128
-    if T % tile in range(1, min(E + 5, _HB) + 1):
-        tile = max(128, -(-T // 128) * 128)
+    tile = pick_tile(T, tile, min(E + 5, _HB))  # halo uses E+5 next-block cols
     n_tiles = -(-T // tile)
     hblk = tile // _HB
     last_blk = (T - 1) // _HB

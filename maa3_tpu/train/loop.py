@@ -219,6 +219,7 @@ class Trainer:
     def sync_system_params(self) -> None:
         """Push the trained params back into the inference system."""
         self.system.params["dit"] = self.state.params["dit"]
+        self.system._serving_dit = None  # invalidate the fused serving copy
         if "cond" in self.state.params:
             self.system.params["cond"] = self.state.params["cond"]
         self.system.scale_factor = float(self.state.scale_factor)

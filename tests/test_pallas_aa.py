@@ -32,7 +32,8 @@ def _oracle(x, alpha, beta, logscale, has_beta):
     ((1, 8, 261), 128),     # ragged tail == 5: smallest multi-tile tail
     ((1, 8, 516), 512),     # tile-shrink loop engages (516 % 512 == 4 -> 384)
 ])
-@pytest.mark.parametrize("has_beta,logscale", [(True, True), (False, False)])
+@pytest.mark.parametrize("has_beta,logscale",
+                         [(True, True), (False, True), (False, False)])
 def test_matches_shift_add_oracle(shape, tile, has_beta, logscale):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
