@@ -64,12 +64,21 @@ def _sdpa(q: Array, k: Array, v: Array, scale: float,
     """Fused softmax attention on (B, L, H, D) tensors with fp32 accumulation.
 
     mask: optional (B, Lk) boolean validity mask for keys.
+
+    In bf16 mode the materialized (L, L) logits/probs are stored in bf16 —
+    matching the reference's autocast SDPA (flag_large_dit_moe.py:382-388,
+    which never sees fp32 score matrices) and halving the attention HBM
+    traffic, the dominant non-GEMM cost of the batched ODE. The softmax
+    statistics still accumulate in fp32 (XLA keeps the max/exp/sum pass in
+    registers); fp32 mode stores everything fp32 for strict parity.
     """
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if q.dtype == jnp.bfloat16:
+        logits = logits.astype(jnp.bfloat16)
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
