@@ -83,12 +83,12 @@ def main():
     }
 
     state, m = train_step(state, batch, jax.random.PRNGKey(2))  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forced fetch: block_until_ready can under-report
     ts = []
     for i in range(5):
         t0 = time.perf_counter()
         state, m = train_step(state, batch, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         ts.append(time.perf_counter() - t0)
     ts.sort()
     step_t = ts[len(ts) // 2]
