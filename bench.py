@@ -1,14 +1,26 @@
 """Benchmark: flagship XL (750M) text-to-audio, 25-step CFG Euler CFM, 10 s clip.
 
 Measures the full generation path on one TPU chip (DiT ODE -> VAE decode ->
-BigVGAN vocode) and prints ONE JSON line:
-  {"metric": "t2a_xl_10s_latency_p50", "value": <s>, "unit": "s",
-   "vs_baseline": <x>, "throughput_secs_audio_per_sec_chip": <best over
-   batch sweep>, "ode_mfu": <model-flops utilization of the ODE>, ...}
+BigVGAN vocode). Emits a cumulative JSON line after EVERY completed stage
+(flush=True), so a partial run still reports the headline number:
 
-vs_baseline is relative to the BASELINE.md north star of 1.0 s per 10 s clip
-on one v5e chip (the reference publishes no numbers; >1.0 means faster than
-the north star).
+  stage 0  headline bf16 p50 latency     (exactly ONE cold XLA compile)
+  stage 1  fp32-mode p50 + bf16-vs-fp32 mel drift (the parity-gate mode)
+  stage 2  batched throughput (8, then 16, 32)
+  stage 3  component breakdown (ODE / VAE / vocoder) + ODE MFU
+  stage 4  text-encoder latency
+
+Every line is a superset of the previous one; the last printed line is the
+most complete. vs_baseline is relative to the BASELINE.md north star of
+1.0 s per 10 s clip on one v5e chip (>1.0 means faster than the target).
+
+Cold-cache behavior (the driver may run this on a fresh VM where the
+persistent compile cache is empty; each XL compile through the remote-compile
+tunnel takes >10 min): the headline stage compiles exactly one program and
+prints its JSON line before anything else is compiled. Later stages are
+skipped when the remaining wall-clock budget (MAA3_BENCH_BUDGET_S, default
+3000 s) cannot fit their estimated compile time, which is calibrated from the
+measured stage-0 compile.
 """
 
 import json
@@ -37,6 +49,28 @@ CTX_LEN = 154             # CLAP(77) ++ T5(77)
 STEPS = 25
 V5E_PEAK_BF16 = 197e12
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("MAA3_BENCH_BUDGET_S", "3000"))
+
+RESULT = {"metric": "t2a_xl_10s_latency_p50", "unit": "s",
+          "stages_completed": []}
+
+
+def note(msg: str) -> None:
+    """Progress to stderr (stdout carries only the JSON result lines)."""
+    print(f"[bench +{time.perf_counter() - T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def emit(stage: str) -> None:
+    RESULT["stages_completed"] = RESULT["stages_completed"] + [stage]
+    RESULT["elapsed_s"] = round(time.perf_counter() - T_START, 1)
+    print(json.dumps(RESULT), flush=True)
+
 
 def median_time(fn, args, n=5):
     """Median wall time of fn, forcing completion with a host fetch.
@@ -45,7 +79,6 @@ def median_time(fn, args, n=5):
     computation finishes (observed under-reporting); fetching a scalar
     reduction is reliable and costs one extra RPC (~ms), so timings here are
     honest upper bounds."""
-    float(jnp.sum(fn(*args)))  # compile + warmup
     ts = []
     for i in range(n):
         t0 = time.perf_counter()
@@ -75,101 +108,194 @@ def component_time(fn, args, n=5):
 
 
 def main():
+    import dataclasses
+    import numpy as np
+
     key = jax.random.PRNGKey(0)
     xl = DiTConfig(in_channels=20, context_dim=1024, hidden_size=1152,
                    depth=28, num_heads=16, max_len=1000)
-    pipe = T2APipeline.random_init(key, xl, VAEConfig(), BigVGANConfig(),
-                                   compute_dtype=jnp.bfloat16)
-    # bf16 weight storage: halves DiT weight HBM reads per ODE step;
-    # wqkv/w13 fusion: one wide MXU GEMM per site (numerics unchanged)
+    note("init: XL random weights (~3 GB fp32, minutes on the 1-core host)")
+    pipe32 = T2APipeline.random_init(key, xl, VAEConfig(), BigVGANConfig(),
+                                     compute_dtype=jnp.float32)
+    note("init done")
+    # give the zero-init final layer signal so the ODE actually moves and the
+    # bf16-vs-fp32 drift below is measured on a non-trivial trajectory
+    w = pipe32.params["dit"]["final_layer"]["linear"]["w"]
+    pipe32.params["dit"]["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(key, w.shape))
+
+    # bf16 serving copy: bf16 weight storage halves DiT weight HBM reads per
+    # ODE step; wqkv/w13 fusion: one wide MXU GEMM per site (numerics
+    # unchanged). fp32 params stay around for the parity-gate mode (stage 1).
     from maa3_tpu.utils.nprand import cast_matmul_weights, fuse_dit_gemms
-    pipe.params["dit"] = fuse_dit_gemms(
-        cast_matmul_weights(pipe.params["dit"], jnp.bfloat16))
-    n_params = dit_param_count(pipe.params["dit"])
+    params16 = dict(pipe32.params)
+    params16["dit"] = fuse_dit_gemms(
+        cast_matmul_weights(pipe32.params["dit"], jnp.bfloat16))
+    pipe = dataclasses.replace(pipe32, compute_dtype=jnp.bfloat16,
+                               params=params16)
+    n_params = dit_param_count(pipe32.params["dit"])
     # planned sampling hoists the adaLN modulation GEMMs, the cross-attn K/V
     # projections and the embedders OUT of the per-step scan, so the per-step
     # FLOPs only involve the residual-stream weights:
-    blk = pipe.params["dit"]["blocks"]
+    blk = pipe32.params["dit"]["blocks"]
     n_step_params = sum(
         int(x.size) for grp in ("attention", "feed_forward")
         for k_, v in blk[grp].items() if k_ not in ("wk_y", "wv_y", "gate")
         for x in jax.tree.leaves(v)) + int(
-        pipe.params["dit"]["proj_in"]["w"].size) + int(
-        pipe.params["dit"]["final_layer"]["linear"]["w"].size)
+        pipe32.params["dit"]["proj_in"]["w"].size) + int(
+        pipe32.params["dit"]["final_layer"]["linear"]["w"].size)
 
     ctx = jax.random.normal(key, (1, CTX_LEN, 1024), jnp.float32)
     uc = jnp.zeros_like(ctx)
+    gen_key = jax.random.PRNGKey(1)
 
+    # ---- stage 0: headline bf16 p50 (ONE cold compile) -------------------
     def run(k):
         z, mel, wav = pipe.generate(ctx, uc, k, latent_len=LATENT_LEN,
                                     guidance_scale=5.0, steps=STEPS)
         return wav
 
-    p50 = median_time(run, (jax.random.PRNGKey(1),))
+    note("stage 0: compiling bf16 generate (the one cold compile)")
+    t0 = time.perf_counter()
+    mel16 = np.asarray(pipe.generate(ctx, uc, gen_key, latent_len=LATENT_LEN,
+                                     guidance_scale=5.0, steps=STEPS)[1],
+                       dtype=np.float32)
+    compile_s = time.perf_counter() - t0  # compile + first run
+    note(f"stage 0: compiled+ran in {compile_s:.1f}s; timing")
+    p50 = median_time(run, (gen_key,))
 
-    # component breakdown (batch 1)
-    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 20, LATENT_LEN),
-                           jnp.float32)
-    scale = jnp.float32(5.0)
-    ode_t = component_time(
-        lambda x: pipe._sample_latent(pipe.params, x, ctx, uc, scale, STEPS),
-        (x0,))
-    z1 = pipe._sample_latent(pipe.params, x0, ctx, uc, scale, STEPS)
-    dec_t = component_time(lambda z: pipe._decode_mel(pipe.params, z), (z1,))
-    mel1 = pipe._decode_mel(pipe.params, z1)
-    voc_t = component_time(lambda m: pipe._vocode(pipe.params, m), (mel1,))
+    RESULT.update({
+        "value": round(p50, 4),
+        "vs_baseline": round(NORTH_STAR_S / p50, 3),
+        "precision": "bf16 matmuls/weights, fp32 islands",
+        "compile0_s": round(compile_s, 1),
+        "budget_s": BUDGET_S,
+    })
+    emit("headline_bf16")
 
-    # ODE MFU: 25 steps x dual-batch forward, fwd flops ~ 2 * P_step * tokens
-    ode_flops = STEPS * 2 * 2 * n_step_params * LATENT_LEN
-    ode_mfu = ode_flops / ode_t / V5E_PEAK_BF16
+    # compile-cost estimate for gating later stages: stage-0 compile plus
+    # slack (warm cache => seconds => everything runs; cold => ~12 min each)
+    est_compile = compile_s * 1.2 + 60.0
 
-    # text-encoder latency (CLAP-BERT + T5-v1.1-large at real shapes): the
-    # conditioning tower runs once per prompt, outside the per-step hot loop
-    from maa3_tpu.models.clap import CLAPFLANConfig, clap_flan_init, clap_flan_encode
-    enc_cfg = CLAPFLANConfig()
-    enc_params = clap_flan_init(jax.random.PRNGKey(3), enc_cfg)
-    enc_params = cast_matmul_weights(enc_params, jnp.bfloat16)
-    ids = jnp.ones((1, enc_cfg.max_length), jnp.int32)
+    # ---- stage 1: fp32 parity-gate mode + drift --------------------------
+    # The reference inference path is fp32 (scripts/txt2audio_for_2cap_flow.py
+    # loads model.cuda() with no autocast), and the BASELINE.md quality gate
+    # (mel MAE < 1e-3) is defined against it — so publish the fp32-mode p50
+    # alongside the bf16 fast mode, plus the measured bf16-vs-fp32 mel drift.
+    if remaining() > est_compile:
+        try:
+            def run32(k):
+                z, mel, wav = pipe32.generate(
+                    ctx, uc, k, latent_len=LATENT_LEN, guidance_scale=5.0,
+                    steps=STEPS)
+                return wav
 
-    @jax.jit
-    def encode(p, a, b):
-        return clap_flan_encode(p, enc_cfg, a, b, compute_dtype=jnp.bfloat16)
+            t0 = time.perf_counter()
+            mel32 = np.asarray(pipe32.generate(
+                ctx, uc, gen_key, latent_len=LATENT_LEN, guidance_scale=5.0,
+                steps=STEPS)[1], dtype=np.float32)  # same key => same x0
+            compile32_s = time.perf_counter() - t0
+            p50_32 = median_time(run32, (gen_key,))
+            RESULT.update({
+                "latency_p50_fp32_s": round(p50_32, 4),
+                "vs_baseline_fp32": round(NORTH_STAR_S / p50_32, 3),
+                "mel_mae_bf16_vs_fp32": float(np.abs(mel16 - mel32).mean()),
+                "compile_fp32_s": round(compile32_s, 1),
+            })
+            emit("fp32_mode")
+        except Exception as e:  # never lose already-emitted stages
+            RESULT["fp32_error"] = repr(e)[:200]
+            emit("fp32_mode_failed")
 
-    enc_t = component_time(lambda a: encode(enc_params, a, ids), (ids,))
-
-    # batched throughput sweep: secs-of-audio per wall-second per chip
+    # ---- stage 2: batched throughput (bf16) ------------------------------
     best_tp, best_b = 0.0, 0
     tp_by_batch = {}
     for bsz in (8, 16, 32):
-        ctx_b = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
-        uc_b = jnp.zeros_like(ctx_b)
+        if remaining() < est_compile:
+            break
+        try:
+            ctx_b = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
+            uc_b = jnp.zeros_like(ctx_b)
 
-        def run_b(k):
-            _, _, wav = pipe.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
-                                      guidance_scale=5.0, steps=STEPS)
-            return wav
+            def run_b(k):
+                _, _, wav = pipe.generate(ctx_b, uc_b, k,
+                                          latent_len=LATENT_LEN,
+                                          guidance_scale=5.0, steps=STEPS)
+                return wav
 
-        tb = median_time(run_b, (jax.random.PRNGKey(100 + bsz),), n=3)
-        tp = bsz * 10.0 / tb
-        tp_by_batch[bsz] = round(tp, 1)
-        if tp > best_tp:
-            best_tp, best_b = tp, bsz
+            run_b(jax.random.PRNGKey(99))  # compile + warmup
+            tb = median_time(run_b, (jax.random.PRNGKey(100 + bsz),), n=3)
+            tp = bsz * 10.0 / tb
+            tp_by_batch[bsz] = round(tp, 1)
+            if tp > best_tp:
+                best_tp, best_b = tp, bsz
+            RESULT.update({
+                "throughput_secs_audio_per_sec_chip": round(best_tp, 1),
+                "throughput_batch": best_b,
+                "throughput_by_batch": tp_by_batch,
+            })
+            emit(f"throughput_b{bsz}")
+        except Exception as e:
+            RESULT["throughput_error"] = repr(e)[:200]
+            emit(f"throughput_b{bsz}_failed")
+            break
 
-    print(json.dumps({
-        "metric": "t2a_xl_10s_latency_p50",
-        "value": round(p50, 4),
-        "unit": "s",
-        "vs_baseline": round(NORTH_STAR_S / p50, 3),
-        "throughput_secs_audio_per_sec_chip": round(best_tp, 1),
-        "throughput_batch": best_b,
-        "throughput_by_batch": tp_by_batch,
-        "ode_ms": round(ode_t * 1e3, 1),
-        "vae_decode_ms": round(dec_t * 1e3, 1),
-        "vocoder_ms": round(voc_t * 1e3, 1),
-        "ode_mfu": round(ode_mfu, 3),
-        "text_encode_ms": round(enc_t * 1e3, 1),
-        "e2e_with_encode_s": round(p50 + enc_t, 4),
-    }))
+    # ---- stage 3: component breakdown (batch 1) --------------------------
+    if remaining() > est_compile:
+        try:
+            x0 = jax.random.normal(jax.random.PRNGKey(2),
+                                   (1, 20, LATENT_LEN), jnp.float32)
+            scale = jnp.float32(5.0)
+            ode_t = component_time(
+                lambda x: pipe._sample_latent(pipe.params, x, ctx, uc, scale,
+                                              STEPS), (x0,))
+            z1 = pipe._sample_latent(pipe.params, x0, ctx, uc, scale, STEPS)
+            dec_t = component_time(
+                lambda z: pipe._decode_mel(pipe.params, z), (z1,))
+            mel1 = pipe._decode_mel(pipe.params, z1)
+            voc_t = component_time(
+                lambda m: pipe._vocode(pipe.params, m), (mel1,))
+
+            # ODE MFU: 25 steps x dual-batch fwd, flops ~ 2 * P_step * tokens
+            ode_flops = STEPS * 2 * 2 * n_step_params * LATENT_LEN
+            RESULT.update({
+                "ode_ms": round(ode_t * 1e3, 1),
+                "vae_decode_ms": round(dec_t * 1e3, 1),
+                "vocoder_ms": round(voc_t * 1e3, 1),
+                "ode_mfu": round(ode_flops / ode_t / V5E_PEAK_BF16, 3),
+            })
+            emit("components")
+        except Exception as e:
+            RESULT["components_error"] = repr(e)[:200]
+            emit("components_failed")
+
+    # ---- stage 4: text-encoder latency -----------------------------------
+    # (CLAP-BERT + T5-v1.1-large at real shapes; the conditioning tower runs
+    # once per prompt, outside the per-step hot loop)
+    if remaining() > est_compile:
+        try:
+            from maa3_tpu.models.clap import (CLAPFLANConfig, clap_flan_init,
+                                              clap_flan_encode)
+            enc_cfg = CLAPFLANConfig()
+            enc_params = clap_flan_init(jax.random.PRNGKey(3), enc_cfg)
+            enc_params = cast_matmul_weights(enc_params, jnp.bfloat16)
+            ids = jnp.ones((1, enc_cfg.max_length), jnp.int32)
+
+            @jax.jit
+            def encode(p, a, b):
+                return clap_flan_encode(p, enc_cfg, a, b,
+                                        compute_dtype=jnp.bfloat16)
+
+            enc_t = component_time(lambda a: encode(enc_params, a, ids),
+                                   (ids,))
+            RESULT.update({
+                "text_encode_ms": round(enc_t * 1e3, 1),
+                "e2e_with_encode_s": round(p50 + enc_t, 4),
+            })
+            emit("encoder")
+        except Exception as e:
+            RESULT["encoder_error"] = repr(e)[:200]
+            emit("encoder_failed")
 
 
 if __name__ == "__main__":

@@ -158,6 +158,30 @@ def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
     if n_rows is None:
         n_rows = 16 if x.dtype == jnp.bfloat16 else 8
     tile = pick_tile(T, tile, 4)  # the halo uses 5 cols of the next block
+
+    # VMEM budget guard: when every candidate tile leaves a bad ragged tail,
+    # pick_tile collapses to ONE tile spanning all of T; for pathological
+    # input lengths the fp32 se/so scratch then exceeds VMEM and Mosaic fails
+    # to compile. Fall back to the numerically-identical XLA shift-add path
+    # (same fp32 snake formulation) instead of emitting an uncompilable
+    # kernel.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    vmem_bytes = (
+        2 * n_rows * (tile + 5) * 4            # se/so fp32 scratch
+        + n_rows * (tile + 10) * itemsize      # xin scratch
+        + 2 * 2 * n_rows * tile * itemsize     # x/out blocks, double-buffered
+        + 4 * n_rows * _HB * itemsize)         # halo blocks, double-buffered
+    if vmem_bytes > 100 * 1024 * 1024:
+        from maa3_tpu.ops.resample import FusedActivation1d
+
+        def _snake_fp32(v):  # v: (B, C, t)
+            vf = v.astype(jnp.float32)
+            out_ = vf + inv_b[None, :, None] * jnp.square(
+                jnp.sin(af[None, :, None] * vf))
+            return out_.astype(v.dtype)
+
+        return FusedActivation1d(_snake_fp32)(x)
+
     n_tiles = -(-T // tile)
     rows = B * C
 

@@ -30,6 +30,17 @@ from maa3_tpu.models.bigvgan import BigVGANConfig, bigvgan_apply, bigvgan_init
 Array = jax.Array
 
 
+def _dual_mask(context_mask, uncond_mask, uncond):
+    """CFG dual-batch key mask [uncond_mask; context_mask] (or None when no
+    mask is given). A missing uncond_mask means the unconditional (empty-
+    caption) context is fully valid."""
+    if context_mask is None:
+        return None
+    um = (uncond_mask if uncond_mask is not None
+          else jnp.ones(uncond.shape[:2], bool))
+    return jnp.concatenate([um, context_mask], axis=0)
+
+
 @dataclasses.dataclass(eq=False)  # identity hash/eq: jit static self
 class T2APipeline:
     """Text(/video)-to-audio generation pipeline.
@@ -76,22 +87,30 @@ class T2APipeline:
         return vel
 
     def _sample_planned(self, dit_params, x0, context, uncond,
-                        guidance_scale, steps):
+                        guidance_scale, steps, context_mask=None,
+                        uncond_mask=None):
         """CFG ODE with per-step constants hoisted out of the scan: the adaLN
         modulations for the whole (known) timestep grid and the static
         cross-attn context K/V are computed once, in batched GEMMs, instead
-        of once per step — ~0.5 GB/step less HBM traffic on the XL."""
+        of once per step — ~0.5 GB/step less HBM traffic on the XL.
+
+        context_mask/uncond_mask: optional (B, Ly) validity masks for padded
+        context rows — threaded through BOTH the pooled caption feature and
+        the per-step cross-attention (y_mask), matching dit_apply."""
         cfg = self.dit_cfg
         dtype = self.compute_dtype
         ctx_in = jnp.concatenate([uncond, context], axis=0)
+        mask_in = _dual_mask(context_mask, uncond_mask, uncond)
         plan = dit_sample_plan(dit_params, cfg, cfm.planned_t_ints(steps),
-                               ctx_in, compute_dtype=dtype)
+                               ctx_in, context_mask=mask_in,
+                               compute_dtype=dtype)
         yk, yv = plan["yk"], plan["yv"]  # step-invariant
 
         def step_vel(x_in, xs):
             mods, final_mod = xs
             return dit_apply_planned(dit_params, cfg, x_in, mods, final_mod,
-                                     yk, yv, compute_dtype=dtype)
+                                     yk, yv, y_mask=mask_in,
+                                     compute_dtype=dtype)
 
         return cfm.sample_cfg_planned(step_vel, x0,
                                       (plan["mods"], plan["final"]),
@@ -101,14 +120,33 @@ class T2APipeline:
     # device); closing over them would bake multi-GB constants into the
     # compiled program and explode compile time.
 
-    @partial(jax.jit, static_argnames=("self", "steps"))
-    def _sample_latent(self, params, x0: Array, context: Array, uncond: Array,
-                       guidance_scale: Array, steps: int = 25) -> Array:
+    def _sample_latent_impl(self, params, x0: Array, context: Array,
+                            uncond: Array, guidance_scale: Array, steps: int,
+                            context_mask=None, uncond_mask=None) -> Array:
         if self.planned:
             return self._sample_planned(params["dit"], x0, context, uncond,
-                                        guidance_scale, steps)
-        return cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
-                              context, uncond, guidance_scale, steps=steps)
+                                        guidance_scale, steps,
+                                        context_mask, uncond_mask)
+        mask_in = _dual_mask(context_mask, uncond_mask, uncond)
+        if mask_in is None:
+            vel = self.velocity_fn(params["dit"])
+        else:
+            cfg, dtype = self.dit_cfg, self.compute_dtype
+
+            def vel(x, t_int, ctx):
+                return dit_apply(params["dit"], cfg, x, t_int, ctx,
+                                 context_mask=mask_in, compute_dtype=dtype)
+
+        return cfm.sample_cfg(vel, x0, context, uncond, guidance_scale,
+                              steps=steps)
+
+    @partial(jax.jit, static_argnames=("self", "steps"))
+    def _sample_latent(self, params, x0: Array, context: Array, uncond: Array,
+                       guidance_scale: Array, steps: int = 25,
+                       context_mask=None, uncond_mask=None) -> Array:
+        return self._sample_latent_impl(params, x0, context, uncond,
+                                        guidance_scale, steps,
+                                        context_mask, uncond_mask)
 
     @partial(jax.jit, static_argnames=("self",))
     def _decode_mel(self, params, z: Array) -> Array:
@@ -123,13 +161,10 @@ class T2APipeline:
 
     @partial(jax.jit, static_argnames=("self", "steps"))
     def _generate_fused(self, params, x0, context, uncond, guidance_scale,
-                        steps=25):
-        if self.planned:
-            z = self._sample_planned(params["dit"], x0, context, uncond,
-                                     guidance_scale, steps)
-        else:
-            z = cfm.sample_cfg(self.velocity_fn(params["dit"]), x0,
-                               context, uncond, guidance_scale, steps=steps)
+                        steps=25, context_mask=None, uncond_mask=None):
+        z = self._sample_latent_impl(params, x0, context, uncond,
+                                     guidance_scale, steps,
+                                     context_mask, uncond_mask)
         mel = vae_decode(params["vae"], self.vae_cfg, z / self.scale_factor,
                          compute_dtype=self.compute_dtype)
         wav = bigvgan_apply(params["vocoder"], self.voc_cfg, mel,
@@ -140,8 +175,11 @@ class T2APipeline:
 
     def generate(self, context: Array, uncond: Array, key: Array,
                  latent_len: int = 312, guidance_scale: float = 5.0,
-                 steps: int = 25, fused: bool = True):
-        """context/uncond: (B, Ly, ctx_dim) text embeddings.
+                 steps: int = 25, fused: bool = True,
+                 context_mask: Optional[Array] = None,
+                 uncond_mask: Optional[Array] = None):
+        """context/uncond: (B, Ly, ctx_dim) text embeddings; optional
+        (B, Ly) validity masks for padded context rows.
         Returns (latent, mel, wav) device arrays.
         Default latent_len 312 == 10 s (625 mel frames / 2), guidance 5.0 and
         25 steps match scripts/txt2audio_for_2cap_flow.py:74,109.
@@ -152,8 +190,10 @@ class T2APipeline:
         scale = jnp.float32(guidance_scale)
         if fused:
             return self._generate_fused(self.params, x0, context, uncond,
-                                        scale, steps)
-        z = self._sample_latent(self.params, x0, context, uncond, scale, steps)
+                                        scale, steps, context_mask,
+                                        uncond_mask)
+        z = self._sample_latent(self.params, x0, context, uncond, scale,
+                                steps, context_mask, uncond_mask)
         mel = self._decode_mel(self.params, z)
         wav = self._vocode(self.params, mel)
         return z, mel, wav

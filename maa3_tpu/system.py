@@ -59,6 +59,7 @@ class MAA3System:
             os.path.join(tk_root, "t5") if tk_root else None, "t5")
         self._jit_cache: dict = {}
         self._serving_dit = None  # lazily fused/cast copy (see serving_dit)
+        self._serving_src = None  # identity of params["dit"] the copy is from
 
     # -- construction ------------------------------------------------------
 
@@ -220,9 +221,15 @@ class MAA3System:
         lazily-built fast copy: matmul weights cast to bf16 (halves weight
         HBM reads per ODE step) and wq/wk/wv + w1/w3 concatenated into single
         wide GEMMs (fuse_dit_gemms; numerics identical). `self.params["dit"]`
-        stays canonical/unfused for checkpointing and inspection."""
-        if self._serving_dit is None:
+        stays canonical/unfused for checkpointing and inspection.
+
+        The cache is keyed on the identity of `self.params["dit"]`, so ANY
+        reassignment (ad-hoc checkpoint reload, Trainer.sync_system_params,
+        cast_weights_bf16) invalidates it — no silent stale weights."""
+        if (self._serving_dit is None
+                or self._serving_src is not self.params["dit"]):
             p = self.params["dit"]
+            self._serving_src = p
             if self.compute_dtype == jnp.bfloat16:
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
@@ -284,13 +291,23 @@ class MAA3System:
         return self._jit_cache[name]
 
     def sample_cfg(self, cond: Array, scale: float, uncond: Array,
-                   key: Array, shape=None, timesteps: int = 25) -> Array:
+                   key: Array, shape=None, timesteps: int = 25,
+                   cond_mask: Optional[Array] = None,
+                   uncond_mask: Optional[Array] = None) -> Array:
+        """cond/uncond: (B, Ly, ctx); cond_mask/uncond_mask: optional (B, Ly)
+        validity masks for padded context rows — threaded through the pooled
+        caption feature AND the per-step cross-attention (the video MoE path
+        has no padding concept and rejects masks)."""
         b = cond.shape[0]
         if shape is None:
             shape = (b, self.spec.mel_dim, self.spec.mel_length)
         x0 = jax.random.normal(key, shape, jnp.float32)
+        if (cond_mask is not None
+                and self.spec.backbone_kind == "video_moe_dit"):
+            raise ValueError("context masks are not supported for the video "
+                             "MoE backbone (fixed-length features)")
 
-        def run(dit_params, x0, c, uc, s):
+        def run(dit_params, x0, c, uc, s, c_mask, uc_mask):
             # planned path: per-step adaLN modulations + static context K/V
             # (and for the MoE: freq-expert slices + shared-t expert select)
             # hoisted out of the Euler scan; numerics identical to
@@ -318,21 +335,28 @@ class MAA3System:
                     s, steps=timesteps)
 
             from maa3_tpu.models.dit import dit_apply_planned, dit_sample_plan
+            if c_mask is not None:
+                um = (uc_mask if uc_mask is not None
+                      else jnp.ones(uc.shape[:2], bool))
+                mask_in = jnp.concatenate([um, c_mask], axis=0)
+            else:
+                mask_in = None
             plan = dit_sample_plan(dit_params, cfg, t_ints, ctx_in,
-                                   compute_dtype=dtype)
+                                   context_mask=mask_in, compute_dtype=dtype)
 
             def step_vel(x_in, xs):
                 mods, final_mod = xs
                 return dit_apply_planned(dit_params, cfg, x_in, mods,
                                          final_mod, plan["yk"], plan["yv"],
-                                         compute_dtype=dtype)
+                                         y_mask=mask_in, compute_dtype=dtype)
 
             return cfm.sample_cfg_planned(
                 step_vel, x0, (plan["mods"], plan["final"]), s,
                 steps=timesteps)
 
         return self._jit(("sample_cfg", timesteps), run)(
-            self.serving_dit(), x0, cond, uncond, jnp.float32(scale))
+            self.serving_dit(), x0, cond, uncond, jnp.float32(scale),
+            cond_mask, uncond_mask)
 
     def sample(self, cond: Array, key: Array, shape=None,
                timesteps: int = 25) -> Array:

@@ -184,6 +184,61 @@ def test_planned_pipeline_matches_unplanned():
                                rtol=2e-5, atol=2e-5)
 
 
+def _tiny_pipe():
+    import dataclasses as _dc  # noqa: F401
+    from maa3_tpu.pipeline import T2APipeline
+    from maa3_tpu.models.vae1d import VAEConfig
+    from maa3_tpu.models.bigvgan import BigVGANConfig
+
+    cfg = DiTConfig(in_channels=8, context_dim=16, hidden_size=64, depth=2,
+                    num_heads=4, max_len=64)
+    vae_cfg = VAEConfig(in_channels=16, out_ch=16, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=3,
+                        z_channels=8, embed_dim=8)
+    voc = BigVGANConfig(num_mels=16, upsample_rates=(2, 2),
+                        upsample_kernel_sizes=(4, 4),
+                        upsample_initial_channel=8,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 2),))
+    pipe = T2APipeline.random_init(jax.random.PRNGKey(0), cfg, vae_cfg, voc,
+                                   compute_dtype=jnp.float32)
+    pipe.params["dit"]["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(
+            jax.random.PRNGKey(3),
+            pipe.params["dit"]["final_layer"]["linear"]["w"].shape))
+    pipe.params["dit"]["blocks"]["attention"]["gate"] = (
+        0.5 * jnp.ones_like(pipe.params["dit"]["blocks"]["attention"]["gate"]))
+    return pipe
+
+
+def test_generate_context_mask_equals_truncated():
+    """A padded context with a validity mask must generate EXACTLY what the
+    truncated (unpadded) context generates — through the planned sampler
+    (mask rides into dit_sample_plan's pooled feature AND the per-step
+    cross-attention y_mask) and the plain sampler alike."""
+    import dataclasses as _dc
+
+    pipe = _tiny_pipe()
+    k = jax.random.PRNGKey(5)
+    ctx5 = jax.random.normal(jax.random.PRNGKey(4), (1, 5, 16))
+    junk = 100.0 * jax.random.normal(jax.random.PRNGKey(6), (1, 2, 16))
+    ctx7 = jnp.concatenate([ctx5, junk], axis=1)
+    uc5, uc7 = jnp.zeros_like(ctx5), jnp.zeros_like(ctx7)
+    mask = jnp.array([[True] * 5 + [False] * 2])
+
+    z_trunc, _, _ = pipe.generate(ctx5, uc5, k, latent_len=16, steps=5)
+    z_mask, _, _ = pipe.generate(ctx7, uc7, k, latent_len=16, steps=5,
+                                 context_mask=mask, uncond_mask=mask)
+    np.testing.assert_allclose(np.asarray(z_mask), np.asarray(z_trunc),
+                               rtol=2e-5, atol=2e-5)
+
+    plain = _dc.replace(pipe, planned=False)
+    z_plain, _, _ = plain.generate(ctx7, uc7, k, latent_len=16, steps=5,
+                                   context_mask=mask, uncond_mask=mask)
+    np.testing.assert_allclose(np.asarray(z_mask), np.asarray(z_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_gemms_match_unfused():
     """fuse_dit_gemms (wqkv / w13 concatenation) must be numerically
     identical — each output column's dot product is unchanged."""
