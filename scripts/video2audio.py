@@ -126,6 +126,9 @@ def main():
         def fuse(feat):
             return clap_mod.clap_fusion_apply(fusion_params, feat, text_emb)
 
+        print(f"clap fusion: caption {opt.clap_text!r} fused into the "
+              f"video conditioning (dim {int(text_emb.shape[-1])})")
+
     for fpath in feat_files:
         name = os.path.splitext(os.path.basename(fpath))[0]
         if name == "empty_vid":
