@@ -57,6 +57,12 @@ class DiTConfig:
     # Pallas flash-attention: None = auto (kernel when seq > 1024, where the
     # O(L^2) score matrix starts to dominate VMEM); True/False = force
     use_flash: "Optional[bool]" = None
+    # bf16-serving drift levers (no effect in fp32 mode): keep the attention
+    # score matrices in fp32 (the HBM cost only matters at batch >= 4), and
+    # carry the residual stream in fp32 between blocks (activations are tiny
+    # next to weights at small batch; matmul inputs still cast to bf16)
+    fp32_scores: bool = False
+    fp32_residual: bool = False
     # rematerialize each block in the backward pass (training memory lever:
     # saves only the per-block residual stream instead of attention probs /
     # FFN hiddens — trades ~1 extra forward for ~10x less activation HBM)
@@ -140,6 +146,7 @@ def _block_apply(p: dict, cfg: DiTConfig, x: Array, cos: Array, sin: Array,
         n_heads=cfg.num_heads, n_kv_heads=cfg.n_kv_heads,
         compute_dtype=compute_dtype,
         use_flash=cfg.flash_for_len(x.shape[1]),
+        fp32_scores=cfg.fp32_scores,
     )
     h = x + gate_msa[:, None, :].astype(x.dtype) * h_attn
 
@@ -172,6 +179,8 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
     b, c, tlen = x.shape
     x = x.transpose(0, 2, 1)  # (B, T, C)
     x = dense(params["proj_in"], x, compute_dtype)
+    if cfg.fp32_residual:
+        x = x.astype(jnp.float32)  # fp32 carry between blocks
 
     t_emb = timestep_embedder_apply(params["t_embedder"], t)  # fp32 (B, H)
 
@@ -302,6 +311,7 @@ def _block_apply_planned(p: dict, cfg: DiTConfig, x: Array, cos: Array,
         n_heads=cfg.num_heads, n_kv_heads=cfg.n_kv_heads,
         compute_dtype=compute_dtype,
         use_flash=cfg.flash_for_len(x.shape[1]),
+        fp32_scores=cfg.fp32_scores,
     )
     h = x + gate_msa[:, None, :].astype(x.dtype) * h_attn
 
@@ -322,6 +332,8 @@ def dit_apply_planned(params: dict, cfg: DiTConfig, x: Array, mods: Array,
     final_mod: (B, 2H), yk/yv: (depth, B, Ly, kv_dim))."""
     x = x.transpose(0, 2, 1)
     x = dense(params["proj_in"], x, compute_dtype)
+    if cfg.fp32_residual:
+        x = x.astype(jnp.float32)
     cos, sin = precompute_rope(cfg.head_dim, x.shape[1],
                                rope_scaling_factor=cfg.rope_scaling_factor,
                                ntk_factor=cfg.ntk_factor)

@@ -60,7 +60,7 @@ def attention_init(key: Array, dim: int, n_heads: int,
 
 
 def _sdpa(q: Array, k: Array, v: Array, scale: float,
-          mask: Optional[Array]) -> Array:
+          mask: Optional[Array], fp32_scores: bool = False) -> Array:
     """Fused softmax attention on (B, L, H, D) tensors with fp32 accumulation.
 
     mask: optional (B, Lk) boolean validity mask for keys.
@@ -71,10 +71,12 @@ def _sdpa(q: Array, k: Array, v: Array, scale: float,
     traffic, the dominant non-GEMM cost of the batched ODE. The softmax
     statistics still accumulate in fp32 (XLA keeps the max/exp/sum pass in
     registers); fp32 mode stores everything fp32 for strict parity.
+    fp32_scores=True keeps fp32 score storage even in bf16 mode (a serving
+    drift lever for small batches, where HBM traffic is not binding).
     """
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
                         preferred_element_type=jnp.float32) * scale
-    if q.dtype == jnp.bfloat16:
+    if q.dtype == jnp.bfloat16 and not fp32_scores:
         logits = logits.astype(jnp.bfloat16)
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
@@ -90,7 +92,8 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
                     y_mask: Optional[Array] = None,
                     n_heads: int = 8, n_kv_heads: Optional[int] = None,
                     compute_dtype=None, use_flash: bool = False,
-                    y_kv: Optional[tuple] = None) -> Array:
+                    y_kv: Optional[tuple] = None,
+                    fp32_scores: bool = False) -> Array:
     """x: (B, L, D); y: (B, Ly, y_dim) context; cos/sin RoPE tables (>=L, hd/2).
 
     y_kv: optional precomputed (yk, yv) context projections, each
@@ -133,7 +136,7 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
                               xv.transpose(0, 2, 1, 3), mask=x_mask,
                               scale=scale).transpose(0, 2, 1, 3)
     else:
-        out = _sdpa(xq, xk, xv, scale, x_mask)
+        out = _sdpa(xq, xk, xv, scale, x_mask, fp32_scores)
 
     if "wk_y" in params and (y is not None or y_kv is not None):
         # gated cross-attention
@@ -152,7 +155,7 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
             rep = n_heads // n_kv
             yk = jnp.repeat(yk, rep, axis=2)
             yv = jnp.repeat(yv, rep, axis=2)
-        out_y = _sdpa(xq, yk, yv, scale, y_mask)
+        out_y = _sdpa(xq, yk, yv, scale, y_mask, fp32_scores)
         gate = jnp.tanh(params["gate"].astype(jnp.float32)).astype(out_y.dtype)
         out = out + out_y * gate[None, None, :, None]
 

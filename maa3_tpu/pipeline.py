@@ -58,6 +58,11 @@ class T2APipeline:
     # hoist per-step ODE constants (adaLN mods, context K/V) out of the scan;
     # numerically equivalent to the plain path (tests/test_dit.py)
     planned: bool = True
+    # VAE-decode compute dtype (default fp32 even in bf16 serving: the
+    # decoder contributes ~90% of the bf16 mel drift and costs only ~6 ms of
+    # 215 ms — measured in scripts/measure_precision_drift.py; the gate
+    # metric is mel-space). Set to None to follow compute_dtype.
+    decode_dtype: object = jnp.float32
 
     # -- construction ------------------------------------------------------
 
@@ -152,7 +157,7 @@ class T2APipeline:
     def _decode_mel(self, params, z: Array) -> Array:
         z = z / self.scale_factor
         return vae_decode(params["vae"], self.vae_cfg, z,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.decode_dtype or self.compute_dtype)
 
     @partial(jax.jit, static_argnames=("self",))
     def _vocode(self, params, mel: Array) -> Array:
@@ -166,7 +171,7 @@ class T2APipeline:
                                      guidance_scale, steps,
                                      context_mask, uncond_mask)
         mel = vae_decode(params["vae"], self.vae_cfg, z / self.scale_factor,
-                         compute_dtype=self.compute_dtype)
+                         compute_dtype=self.decode_dtype or self.compute_dtype)
         wav = bigvgan_apply(params["vocoder"], self.voc_cfg, mel,
                             compute_dtype=self.compute_dtype)
         return z, mel, wav

@@ -388,9 +388,11 @@ class MAA3System:
             self.params["vae"], mel, jnp.float32(self.scale_factor), key)
 
     def decode_first_stage(self, z: Array) -> Array:
+        # fp32 decode even in bf16 serving: the bf16 decoder contributes
+        # ~90% of the mel drift for ~6 ms (scripts/measure_precision_drift)
         def run(vae_params, z, scale):
             return vae_decode(vae_params, self.spec.vae, z / scale,
-                              compute_dtype=self.compute_dtype)
+                              compute_dtype=jnp.float32)
         return self._jit("decode", run)(self.params["vae"], z,
                                         jnp.float32(self.scale_factor))
 

@@ -68,3 +68,36 @@ def fuse_dit_gemms(dit_params):
         blocks["feed_forward"] = ffn
     p["blocks"] = blocks
     return p
+
+
+def unfreeze_zero_init(dit_params, key, scale: float = 0.02):
+    """Give a RANDOM-INIT DiT non-trivial dynamics for benchmarks/parity
+    sweeps. At init the reference zero-inits every adaLN modulation, the
+    final layer and the cross-attn gates (flag_large_dit.py:288-297), which
+    makes EVERY transformer block a numerical identity (gates/shifts/scales
+    all 0): drift or planned-vs-plain comparisons on raw random init never
+    see the blocks' internals. This perturbs those zero-init leaves so the
+    blocks, cross-attention and modulations all contribute. FLOP/latency
+    measurements are value-independent; this matters for NUMERICS only.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(key, 4)
+    p = dict(dit_params)
+    blocks = dict(p["blocks"])
+    att = dict(blocks["attention"])
+    att["gate"] = 0.5 * jnp.ones_like(att["gate"])
+    blocks["attention"] = att
+    ada = blocks["adaLN"]
+    blocks["adaLN"] = {"w": scale * jax.random.normal(ks[0], ada["w"].shape),
+                       "b": jnp.zeros_like(ada["b"])}
+    p["blocks"] = blocks
+    fl = dict(p["final_layer"])
+    fl["linear"] = {"w": scale * jax.random.normal(
+        ks[1], fl["linear"]["w"].shape),
+        "b": jnp.zeros_like(fl["linear"]["b"])}
+    fl["adaLN"] = {"w": scale * jax.random.normal(ks[2], fl["adaLN"]["w"].shape),
+                   "b": jnp.zeros_like(fl["adaLN"]["b"])}
+    p["final_layer"] = fl
+    return p

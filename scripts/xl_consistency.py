@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""XL-scale sampler self-consistency: planned vs plain, fused vs unfused.
+
+The toy-shape parity fixtures (hidden 64, depth 2) cannot see
+shape-dependent numerics — fp32 islands under 28 stacked blocks, the
+hoisted-plan GEMM orderings, the wqkv/w13 concatenations at (1152, 3456).
+This script measures, at the REAL XL shape (1152 x 28L x 16H, latent 312,
+ctx 154) on the TPU:
+
+  planned_vs_plain_fp32   max|dz| of the 25-step CFG ODE latent
+  fused_vs_unfused_fp32   max|dz| with wqkv/w13 GEMM fusion on/off
+  planned_vs_plain_bf16   same in the bf16 serving mode
+
+and commits the evidence to PARITY_XL.json. tests/test_xl_consistency.py
+runs the same function at reduced depth on CPU so the check stays in the
+suite; the committed artifact carries the full-shape numbers.
+
+Run: python scripts/xl_consistency.py            (XL on TPU, detached)
+     python scripts/xl_consistency.py --small    (CPU smoke)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("MAA3_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from maa3_tpu.utils import enable_compile_cache
+
+if jax.default_backend() != "cpu":
+    enable_compile_cache()
+
+
+def run_consistency(hidden: int = 1152, depth: int = 28, heads: int = 16,
+                    latent_len: int = 312, ctx_len: int = 154,
+                    ctx_dim: int = 1024, steps: int = 25, seed: int = 0):
+    """Returns {check_name: {max_abs_diff, rel_to_rms, z_rms}}."""
+    from maa3_tpu.models.dit import DiTConfig
+    from maa3_tpu.models.vae1d import VAEConfig
+    from maa3_tpu.models.bigvgan import BigVGANConfig
+    from maa3_tpu.pipeline import T2APipeline
+    from maa3_tpu.utils.nprand import cast_matmul_weights, fuse_dit_gemms
+
+    dit = DiTConfig(in_channels=20, context_dim=ctx_dim, hidden_size=hidden,
+                    depth=depth, num_heads=heads, max_len=1000)
+    key = jax.random.PRNGKey(seed)
+    pipe = T2APipeline.random_init(key, dit, VAEConfig(), BigVGANConfig(),
+                                   compute_dtype=jnp.float32, planned=True)
+    # zero-init adaLN/final/gates make every block an identity at init —
+    # perturb them so the comparison exercises the blocks' internals
+    from maa3_tpu.utils.nprand import unfreeze_zero_init
+    pipe.params["dit"] = unfreeze_zero_init(pipe.params["dit"], key)
+
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, ctx_len, ctx_dim),
+                            jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 20, latent_len),
+                           jnp.float32)
+    scale = jnp.float32(5.0)
+
+    def latent(p, planned):
+        pp = dataclasses.replace(pipe, planned=planned)
+        return np.asarray(pp._sample_latent(
+            {**pipe.params, "dit": p}, x0, ctx, uc, scale, steps),
+            dtype=np.float32)
+
+    out = {}
+
+    def record(name, za, zb):
+        rms = float(np.sqrt((za.astype(np.float64) ** 2).mean()))
+        d = float(np.abs(za - zb).max())
+        out[name] = {"max_abs_diff": d, "rel_to_rms": d / max(rms, 1e-30),
+                     "z_rms": rms}
+        print(f"{name}: max|dz|={d:.3e}  rel={d / max(rms, 1e-30):.3e}",
+              flush=True)
+
+    p32 = pipe.params["dit"]
+    t0 = time.time()
+    z_planned = latent(p32, True)
+    z_plain = latent(p32, False)
+    record("planned_vs_plain_fp32", z_planned, z_plain)
+
+    z_fused = latent(fuse_dit_gemms(p32), True)
+    record("fused_vs_unfused_fp32", z_planned, z_fused)
+
+    p16 = cast_matmul_weights(p32, jnp.bfloat16)
+    pipe16 = dataclasses.replace(pipe, compute_dtype=jnp.bfloat16)
+
+    def latent16(p, planned):
+        pp = dataclasses.replace(pipe16, planned=planned)
+        return np.asarray(pp._sample_latent(
+            {**pipe.params, "dit": p}, x0, ctx, uc, scale, steps),
+            dtype=np.float32)
+
+    z16_planned = latent16(p16, True)
+    z16_plain = latent16(p16, False)
+    record("planned_vs_plain_bf16", z16_planned, z16_plain)
+    record("bf16_vs_fp32_latent", z_planned, z16_planned)
+    out["_meta"] = {
+        "hidden": hidden, "depth": depth, "heads": heads,
+        "latent_len": latent_len, "ctx_len": ctx_len, "steps": steps,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    return out
+
+
+def main():
+    small = "--small" in sys.argv
+    if small:
+        res = run_consistency(hidden=128, depth=2, heads=4, latent_len=40,
+                              ctx_len=10, ctx_dim=64)
+    else:
+        res = run_consistency()
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PARITY_XL.json")
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"wrote {path}")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Real-TPU numerics: the actual serving configuration under test.
+
+The CPU suite validates planned/fused equivalence in fp32 and the Pallas
+kernels in interpret mode; here we assert (a) the bf16 planned sampler
+matches the bf16 plain sampler on the MXU, and (b) the Mosaic-COMPILED
+Pallas vocoder kernels match their interpret-mode oracles bit-for-bit on
+small shapes (ADVICE r1 #4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _small_pipe(compute_dtype):
+    from maa3_tpu.models.dit import DiTConfig
+    from maa3_tpu.models.vae1d import VAEConfig
+    from maa3_tpu.models.bigvgan import BigVGANConfig
+    from maa3_tpu.pipeline import T2APipeline
+
+    cfg = DiTConfig(in_channels=20, context_dim=64, hidden_size=256,
+                    depth=4, num_heads=4, max_len=256)
+    pipe = T2APipeline.random_init(
+        jax.random.PRNGKey(0), cfg, VAEConfig(ch=32, ch_mult=(1, 2),
+                                              num_res_blocks=1),
+        BigVGANConfig(upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+                      upsample_initial_channel=32,
+                      resblock_kernel_sizes=(3,),
+                      resblock_dilation_sizes=((1, 2),)),
+        compute_dtype=compute_dtype)
+    w = pipe.params["dit"]["final_layer"]["linear"]["w"]
+    pipe.params["dit"]["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(9), w.shape))
+    pipe.params["dit"]["blocks"]["attention"]["gate"] = (
+        0.5 * jnp.ones_like(pipe.params["dit"]["blocks"]["attention"]["gate"]))
+    return pipe
+
+
+def test_bf16_planned_matches_plain_on_tpu():
+    """The bf16 serving path (planned ODE, bf16 score storage, MXU matmuls)
+    must agree with the bf16 plain sampler — same math, hoisted."""
+    pipe = _small_pipe(jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    k = jax.random.PRNGKey(2)
+    z_planned, _, _ = pipe.generate(ctx, uc, k, latent_len=64, steps=8)
+    plain = dataclasses.replace(pipe, planned=False)
+    z_plain, _, _ = plain.generate(ctx, uc, k, latent_len=64, steps=8)
+    zp = np.asarray(z_planned, np.float32)
+    zq = np.asarray(z_plain, np.float32)
+    rms = float(np.sqrt((zp ** 2).mean()))
+    assert float(np.abs(zp - zq).max()) / rms < 2e-2, (
+        float(np.abs(zp - zq).max()), rms)
+
+
+def test_fused_gemms_bf16_match_on_tpu():
+    from maa3_tpu.utils.nprand import cast_matmul_weights, fuse_dit_gemms
+
+    pipe = _small_pipe(jnp.bfloat16)
+    p16 = cast_matmul_weights(pipe.params["dit"], jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (1, 20, 64), jnp.float32)
+    s = jnp.float32(3.0)
+    za = np.asarray(pipe._sample_latent(
+        {**pipe.params, "dit": p16}, x0, ctx, uc, s, 8), np.float32)
+    zb = np.asarray(pipe._sample_latent(
+        {**pipe.params, "dit": fuse_dit_gemms(p16)}, x0, ctx, uc, s, 8),
+        np.float32)
+    # same dot products, one wide GEMM: tiny tile-order accumulation jitter
+    rms = float(np.sqrt((za ** 2).mean()))
+    assert float(np.abs(za - zb).max()) / rms < 5e-3
+
+
+def test_pallas_aa_snake_compiled_matches_interpret():
+    from maa3_tpu.ops.pallas_aa_snake import aa_snake_fused
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 1024)).astype(np.float32))
+    alpha = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+    y_compiled = np.asarray(aa_snake_fused(x, alpha, beta, interpret=False))
+    y_interp = np.asarray(aa_snake_fused(x, alpha, beta, interpret=True))
+    np.testing.assert_allclose(y_compiled, y_interp, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_conv_snake_compiled_matches_interpret():
+    from maa3_tpu.ops.pallas_amp import conv_snake_fused
+
+    rng = np.random.default_rng(1)
+    cin, cout, k = 8, 8, 3
+    x = jnp.asarray(rng.normal(size=(1, cin, 768)).astype(np.float32))
+    alpha = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(cout, cin, k)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) * 0.1)
+    for dil in (1, 3):
+        yc = np.asarray(conv_snake_fused(x, alpha, beta, w, b, k=k,
+                                         dilation=dil, interpret=False))
+        yi = np.asarray(conv_snake_fused(x, alpha, beta, w, b, k=k,
+                                         dilation=dil, interpret=True))
+        np.testing.assert_allclose(yc, yi, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"dilation {dil}")
