@@ -38,18 +38,22 @@ def lambda_linear_schedule(base_lr: float, warm_up_steps: int = 10000,
 def make_optimizer(base_lr: float = 3.0e-6, lr_multiplier: float = 16.0,
                    warm_up_steps: int = 10000, grad_clip: float = 1.0,
                    weight_decay: float = 1e-2,
-                   schedule: Optional[optax.Schedule] = None) -> optax.GradientTransformation:
+                   schedule: Optional[optax.Schedule] = None,
+                   mu_dtype=None) -> optax.GradientTransformation:
     """AdamW + linear-warmup schedule + global-norm clip.
 
     lr_multiplier mirrors `accumulate_grad_batches * ngpu * bs` (main.py:786-790);
     the reference default recipe is 16 (1 * 1 * 16) per config batch_size.
+    mu_dtype=jnp.bfloat16 stores the first moment in bf16 (params and the
+    second moment stay fp32): frees ~1.5 GB HBM for the XL, which is what
+    lets the no-recompute remat policy fit at batch 16+ on a 16 GB chip.
     """
     if schedule is None:
         schedule = lambda_linear_schedule(base_lr * lr_multiplier, warm_up_steps)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay),
+                    weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
 
 
