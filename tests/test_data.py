@@ -178,3 +178,47 @@ def test_prefetch_multiworker_order_and_errors(tmp_path):
     except RuntimeError:
         pass
     assert got == sampler[:2]  # batches before the bad one arrived in order
+
+
+def test_heuristic_structurizer():
+    """Deterministic n2s follows the reference prompt's own examples
+    (preprocess/n2s_by_openai.py:20-27): sequential connectives spread
+    start/mid/end, simultaneous clauses share their anchor's span."""
+    from maa3_tpu.data.structurize import (heuristic_natural_to_struct,
+                                           struct_to_natural)
+
+    assert (heuristic_natural_to_struct(
+        "Train passing followed by short honks three times")
+        == "<Train passing& all>@<short honks three times& end>")
+    s = heuristic_natural_to_struct(
+        "a bird sings, then a dog barks, then thunder rolls")
+    assert s == ("<a bird sings& start>@<a dog barks& mid>"
+                 "@<thunder rolls& end>")
+    # simultaneous clause inherits the group's time
+    s = heuristic_natural_to_struct("rain falls while wind blows")
+    assert s == "<rain falls& all>@<wind blows& all>"
+    # single event
+    assert heuristic_natural_to_struct("a dog barks.") == "<a dog barks& all>"
+    assert heuristic_natural_to_struct("") == ""
+    # roundtrip through the inverse keeps the events in order
+    nat = struct_to_natural(heuristic_natural_to_struct(
+        "a bird sings, then a dog barks"))
+    assert nat == "a bird sings, then a dog barks"
+
+
+def test_structurize_captions_cli(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    tsv = tmp_path / "caps.tsv"
+    tsv.write_text("name\tori_cap\nr1\ta dog barks followed by thunder\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(root, "scripts",
+                                       "structurize_captions.py"),
+         "--tsv_path", str(tsv)],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = (tmp_path / "caps.struct.tsv").read_text().splitlines()
+    assert out[0] == "name\tori_cap\tcaption"
+    assert out[1].endswith("<a dog barks& all>@<thunder& end>")
