@@ -54,8 +54,15 @@ class Trainer:
                  grad_clip: float = 1.0, warm_up_steps: int = 10000,
                  log_every: int = 50, ckpt_every: int = 2000,
                  ckpt_dir: str = "logs/ckpt", n_model: int = 1,
-                 train_cond: Optional[bool] = None):
-        """system: MAA3System (provides spec, params, tokenizers)."""
+                 train_cond: Optional[bool] = None, accum_steps: int = 1,
+                 mu_dtype=None):
+        """system: MAA3System (provides spec, params, tokenizers).
+
+        accum_steps: gradient accumulation (the reference's
+        accumulate_grad_batches, main.py:786-790) — optimizer updates apply
+        every accum_steps micro-batches; the lr multiplier scales with it.
+        mu_dtype: AdamW first-moment storage dtype (bfloat16 frees ~1.5 GB
+        for the XL)."""
         self.system = system
         self.spec: ModelSpec = system.spec
         self.batch_size = batch_size
@@ -64,17 +71,23 @@ class Trainer:
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         self.train_cond = (self.spec.cond_stage_trainable
                            if train_cond is None else train_cond)
+        self.accum_steps = max(1, accum_steps)
 
         n_dev = len(jax.devices())
         n_model = n_model if n_dev % max(n_model, 1) == 0 else 1
         self.mesh = make_mesh(n_dev // n_model, n_model)
 
         lr_mult = lr_multiplier if lr_multiplier is not None else (
-            self.mesh.shape["data"] * batch_size)  # accum(1) * ndata * bs
+            self.accum_steps * self.mesh.shape["data"] * batch_size)
         self.optimizer = make_optimizer(self.spec.base_learning_rate,
                                         lr_multiplier=lr_mult,
                                         warm_up_steps=warm_up_steps,
-                                        grad_clip=grad_clip)
+                                        grad_clip=grad_clip,
+                                        mu_dtype=mu_dtype)
+        if self.accum_steps > 1:
+            import optax
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self.accum_steps)
 
         # trainable vs frozen split
         trainable = {"dit": system.params["dit"]}

@@ -41,6 +41,11 @@ def parse_args():
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel axis size")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation (accumulate_grad_batches)")
+    p.add_argument("--mu_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="AdamW first-moment dtype (bfloat16 frees ~1.5 GB)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize DiT blocks in backward (activation "
                         "memory ~depth-fold smaller; needed for XL+ on 16GB)")
@@ -122,8 +127,11 @@ def main():
             system.spec, dit=dataclasses.replace(system.spec.dit, remat=True))
     batch_size = opt.batch_size or cfg.get("data", {}).get("params", {}).get(
         "batch_size", 16)
+    import jax.numpy as _jnp
     trainer = Trainer(system, batch_size=batch_size, ckpt_dir=opt.ckpt_dir,
-                      use_ema=opt.use_ema, n_model=opt.n_model)
+                      use_ema=opt.use_ema, n_model=opt.n_model,
+                      accum_steps=opt.accum_steps,
+                      mu_dtype=_jnp.dtype(opt.mu_dtype))
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 

@@ -176,3 +176,26 @@ def test_remat_matches_plain_gradients():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accumulation_mechanics(tmp_path):
+    """accum_steps=2 (accumulate_grad_batches equivalent): params must NOT
+    move after the first micro-batch and MUST move after the second."""
+    system = _tiny_system(tmp_path)
+    trainer = Trainer(system, batch_size=8, ckpt_dir=str(tmp_path / "ck"),
+                      log_every=100, ckpt_every=0, warm_up_steps=1,
+                      lr_multiplier=10.0, accum_steps=2,
+                      mu_dtype=jnp.bfloat16)
+    w0 = np.asarray(system.params["dit"]["blocks"]["attention"]["wq"]["w"]).copy()
+    trainer.fit(_batches(1), max_steps=1)
+    w1 = np.asarray(trainer.state.params["dit"]["blocks"]["attention"]["wq"]["w"])
+    np.testing.assert_array_equal(w1, w0)  # update still accumulating
+    # 3 more micro-batches: applies at micro-step 2 (inner LR still at the
+    # f_start=1e-6 warmup floor) and at micro-step 4 (full LR)
+    trainer.fit(_batches(3), max_steps=3)
+    w2 = np.asarray(trainer.state.params["dit"]["blocks"]["attention"]["wq"]["w"])
+    assert np.abs(w2 - w0).max() > 1e-6  # updates applied
+    # bf16 first moment actually stored in bf16
+    mu = trainer.state.opt_state.inner_opt_state[1][0].mu
+    leaf = jax.tree.leaves(mu)[0]
+    assert leaf.dtype == jnp.bfloat16
