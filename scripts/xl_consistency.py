@@ -84,14 +84,27 @@ def run_consistency(hidden: int = 1152, depth: int = 28, heads: int = 16,
         print(f"{name}: max|dz|={d:.3e}  rel={d / max(rms, 1e-30):.3e}",
               flush=True)
 
+    def latent_1step(p, planned, dtype_pipe):
+        """steps=2 => ONE Euler update: isolates per-forward numerics from
+        trajectory amplification (25 chaotic steps amplify reassociation
+        noise ~1000x at XL scale)."""
+        pp = dataclasses.replace(dtype_pipe, planned=planned)
+        return np.asarray(pp._sample_latent(
+            {**pipe.params, "dit": p}, x0, ctx, uc, scale, 2),
+            dtype=np.float32)
+
     p32 = pipe.params["dit"]
     t0 = time.time()
     z_planned = latent(p32, True)
     z_plain = latent(p32, False)
     record("planned_vs_plain_fp32", z_planned, z_plain)
+    record("planned_vs_plain_fp32_1step", latent_1step(p32, True, pipe),
+           latent_1step(p32, False, pipe))
 
     z_fused = latent(fuse_dit_gemms(p32), True)
     record("fused_vs_unfused_fp32", z_planned, z_fused)
+    record("fused_vs_unfused_fp32_1step", latent_1step(p32, True, pipe),
+           latent_1step(fuse_dit_gemms(p32), True, pipe))
 
     p16 = cast_matmul_weights(p32, jnp.bfloat16)
     pipe16 = dataclasses.replace(pipe, compute_dtype=jnp.bfloat16)
@@ -105,6 +118,8 @@ def run_consistency(hidden: int = 1152, depth: int = 28, heads: int = 16,
     z16_planned = latent16(p16, True)
     z16_plain = latent16(p16, False)
     record("planned_vs_plain_bf16", z16_planned, z16_plain)
+    record("planned_vs_plain_bf16_1step", latent_1step(p16, True, pipe16),
+           latent_1step(p16, False, pipe16))
     record("bf16_vs_fp32_latent", z_planned, z16_planned)
     out["_meta"] = {
         "hidden": hidden, "depth": depth, "heads": heads,
