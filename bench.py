@@ -131,8 +131,11 @@ def main():
     params16 = dict(pipe32.params)
     params16["dit"] = fuse_dit_gemms(
         cast_matmul_weights(pipe32.params["dit"], jnp.bfloat16))
-    pipe = dataclasses.replace(pipe32, compute_dtype=jnp.bfloat16,
-                               params=params16)
+    # serving mode: fp32 residual carry is measured FREE on the v5e (p50
+    # unchanged) and cuts latent drift ~3x (scripts/measure_precision_drift)
+    pipe = dataclasses.replace(
+        pipe32, compute_dtype=jnp.bfloat16, params=params16,
+        dit_cfg=dataclasses.replace(xl, fp32_residual=True))
     n_params = dit_param_count(pipe32.params["dit"])
     # planned sampling hoists the adaLN modulation GEMMs, the cross-attn K/V
     # projections and the embedders OUT of the per-step scan, so the per-step
