@@ -49,6 +49,8 @@ def main():
                     help="AdamW first-moment storage dtype (bfloat16 frees "
                          "~1.5 GB for the XL, letting dots_no_batch fit)")
     ap.add_argument("--small", action="store_true")  # CPU smoke
+    ap.add_argument("--profile", type=str, default="",
+                    help="capture a jax.profiler trace of 3 steps to DIR")
     opt = ap.parse_args()
 
     if opt.small:
@@ -88,6 +90,12 @@ def main():
 
     state, m = train_step(state, batch, jax.random.PRNGKey(2))  # compile
     float(m["loss"])  # forced fetch: block_until_ready can under-report
+    if opt.profile:
+        with jax.profiler.trace(opt.profile):
+            for i in range(3):
+                state, m = train_step(state, batch, jax.random.PRNGKey(50 + i))
+            float(m["loss"])
+        print(f"profile written to {opt.profile}", file=sys.stderr)
     ts = []
     for i in range(5):
         t0 = time.perf_counter()
