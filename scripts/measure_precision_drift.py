@@ -94,7 +94,11 @@ def main():
         ts.sort()
         return ts[len(ts) // 2]
 
-    z32, mel32, wav32 = gen(pipe32)
+    # TRUE-fp32 oracle: TPU's DEFAULT matmul precision computes fp32 dots
+    # via bf16 MXU passes; 'highest' (6-pass emulation) makes the reference
+    # leg actually fp32 (see scripts/xl_consistency.py)
+    with jax.default_matmul_precision("highest"):
+        z32, mel32, wav32 = gen(pipe32)
     base16 = dataclasses.replace(pipe32, compute_dtype=jnp.bfloat16,
                                  params=params16)  # fp32 decode (default)
     modes = {
@@ -111,6 +115,15 @@ def main():
 
     out = {"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
            "latent_rms": float(np.sqrt((z32 ** 2).mean()))}
+    # how far DEFAULT-precision fp32 sits from true fp32 (the quiet
+    # bf16-passes effect measured on its own)
+    z32d, mel32d, _ = gen(pipe32)
+    out["fp32_default_vs_highest"] = {
+        "latent_mae": float(np.abs(z32 - z32d).mean()),
+        "mel_mae": float(np.abs(mel32 - mel32d).mean()),
+    }
+    print(json.dumps({"fp32_default_vs_highest":
+                      out["fp32_default_vs_highest"]}), flush=True)
     for name, pipe in modes.items():
         z16, mel16, wav16 = gen(pipe)
         row = {

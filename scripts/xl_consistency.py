@@ -95,16 +95,22 @@ def run_consistency(hidden: int = 1152, depth: int = 28, heads: int = 16,
 
     p32 = pipe.params["dit"]
     t0 = time.time()
-    z_planned = latent(p32, True)
-    z_plain = latent(p32, False)
-    record("planned_vs_plain_fp32", z_planned, z_plain)
-    record("planned_vs_plain_fp32_1step", latent_1step(p32, True, pipe),
-           latent_1step(p32, False, pipe))
+    # TRUE-fp32 matmuls for the fp32 legs: on TPU the DEFAULT matmul
+    # precision computes fp32 dots via bf16 MXU passes (measured: one Euler
+    # step of "fp32" planned-vs-plain differed by 1.8e-2 relative under
+    # default precision — bf16-level noise, not fp32). 'highest' uses the
+    # 6-pass fp32 emulation and makes fp32 mean fp32.
+    with jax.default_matmul_precision("highest"):
+        z_planned = latent(p32, True)
+        z_plain = latent(p32, False)
+        record("planned_vs_plain_fp32", z_planned, z_plain)
+        record("planned_vs_plain_fp32_1step", latent_1step(p32, True, pipe),
+               latent_1step(p32, False, pipe))
 
-    z_fused = latent(fuse_dit_gemms(p32), True)
-    record("fused_vs_unfused_fp32", z_planned, z_fused)
-    record("fused_vs_unfused_fp32_1step", latent_1step(p32, True, pipe),
-           latent_1step(fuse_dit_gemms(p32), True, pipe))
+        z_fused = latent(fuse_dit_gemms(p32), True)
+        record("fused_vs_unfused_fp32", z_planned, z_fused)
+        record("fused_vs_unfused_fp32_1step", latent_1step(p32, True, pipe),
+               latent_1step(fuse_dit_gemms(p32), True, pipe))
 
     p16 = cast_matmul_weights(p32, jnp.bfloat16)
     pipe16 = dataclasses.replace(pipe, compute_dtype=jnp.bfloat16)
