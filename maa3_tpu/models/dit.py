@@ -212,11 +212,21 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
             body = jax.checkpoint(
                 body,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif cfg.remat_policy == "save_gemms":
+            # save exactly the FLOP-heavy projection outputs (tagged in
+            # ops/attention.py / ops/ffn.py); the backward recomputes only
+            # cheap elementwise work + the O(L^2) attention scores — ~5% of
+            # block FLOPs instead of the full-block +2PT recompute
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_q", "attn_k", "attn_v", "attn_out",
+                    "ffn_h1", "ffn_h3", "ffn_out"))
         elif cfg.remat_policy == "nothing":
             body = jax.checkpoint(body)
         else:
             raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r} "
-                             "(expected 'nothing' or 'dots_no_batch')")
+                             "(expected 'nothing', 'dots_no_batch' or "
+                             "'save_gemms')")
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = final_layer_apply(params["final_layer"], x, adaln_input)

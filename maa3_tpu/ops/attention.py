@@ -105,6 +105,7 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
     head_dim = d // n_heads
     scale = 1.0 / math.sqrt(head_dim)
 
+    from jax.ad_checkpoint import checkpoint_name
     if "wqkv" in params:
         # serving-time fused projection (utils.nprand.fuse_dit_gemms): one
         # (D, q+k+v) GEMM — per-element numerics identical to the 3 GEMMs
@@ -115,6 +116,10 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
         xq = dense(params["wq"], x, compute_dtype)
         xk = dense(params["wk"], x, compute_dtype)
         xv = dense(params["wv"], x, compute_dtype)
+    # tags for the 'save_gemms' remat policy (models/dit.py)
+    xq = checkpoint_name(xq, "attn_q")
+    xk = checkpoint_name(xk, "attn_k")
+    xv = checkpoint_name(xv, "attn_v")
     if "q_norm" in params:
         xq = layer_norm(xq, params["q_norm"]["weight"], params["q_norm"]["bias"], eps=1e-5)
         xk = layer_norm(xk, params["k_norm"]["weight"], params["k_norm"]["bias"], eps=1e-5)
@@ -160,4 +165,5 @@ def attention_apply(params: dict, x: Array, cos: Array, sin: Array,
         out = out + out_y * gate[None, None, :, None]
 
     out = out.reshape(b, l, n_heads * head_dim)
-    return dense(params["wo"], out, compute_dtype)
+    return checkpoint_name(dense(params["wo"], out, compute_dtype),
+                           "attn_out")

@@ -41,6 +41,7 @@ def feed_forward_init(key: Array, dim: int, hidden_dim: Optional[int] = None,
 
 
 def feed_forward_apply(params: dict, x: Array, compute_dtype=None) -> Array:
+    from jax.ad_checkpoint import checkpoint_name
     if "w13" in params:
         # serving-time fused gate+up projection (utils.nprand.fuse_dit_gemms)
         h = dense(params["w13"], x, compute_dtype)
@@ -48,4 +49,10 @@ def feed_forward_apply(params: dict, x: Array, compute_dtype=None) -> Array:
     else:
         x1 = dense(params["w1"], x, compute_dtype)
         x3 = dense(params["w3"], x, compute_dtype)
-    return dense(params["w2"], silu(x1) * x3, compute_dtype)
+    # names let the 'save_gemms' remat policy keep exactly the FLOP-heavy
+    # projections while recomputing the cheap elementwise/attention-score
+    # work (models/dit.py remat_policy)
+    x1 = checkpoint_name(x1, "ffn_h1")
+    x3 = checkpoint_name(x3, "ffn_h3")
+    return checkpoint_name(dense(params["w2"], silu(x1) * x3, compute_dtype),
+                           "ffn_out")
