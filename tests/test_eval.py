@@ -118,3 +118,52 @@ def test_transport_paths_and_ode():
     got = vfn(xt3, jnp.array([0.3, 0.7]), None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(vt3), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_transport_time_shifted_grid():
+    # t/(t + s - s*t): endpoints fixed, interior pushed toward 0 for s>1
+    g = jnp.linspace(0.0, 1.0, 9)
+    gs = transport.shift_time_grid(g, 3.0)
+    np.testing.assert_allclose(float(gs[0]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(gs[-1]), 1.0, atol=1e-6)
+    assert (np.asarray(gs[1:-1]) < np.asarray(g[1:-1])).all()
+    # ode_sample accepts the factor and stays exact for constant velocity
+    out = transport.ode_sample(lambda x, t, c: jnp.full_like(x, 0.25),
+                               jnp.zeros((2, 3, 4)), None, steps=9,
+                               method="euler", time_shifting_factor=3.0)
+    np.testing.assert_allclose(np.asarray(out), 0.25, rtol=1e-5)
+
+
+def test_dopri5_exact_linear_field():
+    # dx/dt = a(t) x with a(t) = 1 + t: x(1) = x0 * exp(3/2)
+    def vel(x, t, c):
+        return (1.0 + t).reshape((-1,) + (1,) * (x.ndim - 1)) * x
+
+    x0 = jnp.array(np.random.default_rng(0).normal(size=(3, 2, 5)),
+                   jnp.float32)
+    out, stats = transport.dopri5_sample(vel, x0, None, rtol=1e-6, atol=1e-8)
+    expect = np.asarray(x0) * np.exp(1.5)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+    assert int(stats["n_accepted"]) >= 1
+    assert int(stats["n_evals"]) == 7 * (int(stats["n_accepted"])
+                                         + int(stats["n_rejected"]))
+
+
+def test_dopri5_matches_dense_euler_and_adapts():
+    # nonlinear, stiff-ish field: adaptive solver must agree with a very
+    # fine Euler reference and reject at least nothing pathological
+    def vel(x, t, c):
+        return jnp.tanh(3.0 * x) - x * t.reshape((-1,) + (1,) * (x.ndim - 1))
+
+    x0 = jnp.array(np.random.default_rng(1).normal(size=(2, 4, 6)),
+                   jnp.float32)
+    ref = transport.ode_sample(vel, x0, None, steps=2001, method="euler")
+    out, stats = transport.dopri5_sample(vel, x0, None, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # adaptivity: far fewer evals than the 2000-step Euler reference
+    assert int(stats["n_evals"]) < 2000
+    # tighter tolerance => more steps (1e-6 rel is the fp32 floor)
+    _, stats_tight = transport.dopri5_sample(vel, x0, None, rtol=1e-6,
+                                             atol=1e-8)
+    assert int(stats_tight["n_accepted"]) > int(stats["n_accepted"])
