@@ -221,12 +221,21 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
                 body, policy=jax.checkpoint_policies.save_only_these_names(
                     "attn_q", "attn_k", "attn_v", "attn_out",
                     "ffn_h1", "ffn_h3", "ffn_out"))
+        elif cfg.remat_policy == "save_gemms_lite":
+            # like save_gemms but drops the two (T, 8/3 H) SwiGLU hiddens —
+            # the dominant saved tensors (~55% of the saved bytes; they OOM
+            # the XL at batch 32). The backward re-runs just the w1/w3 GEMMs:
+            # ~45% of forward FLOPs ~= 15% of total step FLOPs, for a memory
+            # footprint of 5 H-wide tensors per block-token.
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_q", "attn_k", "attn_v", "attn_out", "ffn_out"))
         elif cfg.remat_policy == "nothing":
             body = jax.checkpoint(body)
         else:
             raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r} "
-                             "(expected 'nothing', 'dots_no_batch' or "
-                             "'save_gemms')")
+                             "(expected 'nothing', 'dots_no_batch', "
+                             "'save_gemms' or 'save_gemms_lite')")
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = final_layer_apply(params["final_layer"], x, adaln_input)

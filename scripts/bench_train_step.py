@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--latent", type=int, default=312)  # 10 s clips
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--remat_policy", type=str, default="nothing",
-                    choices=["nothing", "dots_no_batch", "save_gemms"])
+                    choices=["nothing", "dots_no_batch", "save_gemms",
+                             "save_gemms_lite"])
     ap.add_argument("--mu_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="AdamW first-moment storage dtype (bfloat16 frees "
