@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Standalone attention timing at XL serving shapes: materialized-score SDPA
-vs the Pallas flash kernel at several block configurations. The goal: find a
-config where scores never touch HBM without the 128x128 blocking overhead
-that makes flash 2.2x slower than SDPA at seq 312.
+vs the Pallas flash kernel at several block configurations. Sub-ms kernels
+cannot be timed individually through the ~30 ms axon RPC tunnel, so each
+measurement chains ITERS data-dependent attention calls inside one jitted
+lax.scan (output feeds the next query) and divides.
 
 Shapes: (B_dual, H=16, T=312, D=72)."""
 
@@ -29,9 +30,10 @@ from maa3_tpu.ops.flash_attention import flash_attention
 
 H, T, D = 16, 312, 72
 SCALE = 1.0 / (D ** 0.5)
+ITERS = 50
 
 
-def component_time(fn, args, n=7):
+def program_time(fn, args, n=5):
     def run_k(k):
         out = None
         for _ in range(k):
@@ -54,6 +56,17 @@ def sdpa(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+def chained(attn_fn):
+    @jax.jit
+    def run(q, k, v):
+        def body(c, _):
+            o = attn_fn(c, k, v)
+            return (o * 2.0).astype(jnp.bfloat16), None
+        c, _ = jax.lax.scan(body, q, None, length=ITERS)
+        return c
+    return run
+
+
 def main():
     key = jax.random.PRNGKey(0)
     out = {}
@@ -61,14 +74,14 @@ def main():
         q = jax.random.normal(key, (b, H, T, D), jnp.bfloat16)
         k = jax.random.normal(key, (b, H, T, D), jnp.bfloat16)
         v = jax.random.normal(key, (b, H, T, D), jnp.bfloat16)
-        row = {"sdpa_ms": round(component_time(jax.jit(sdpa), (q, k, v)) * 1e3, 3)}
-        for bq, bk in ((128, 128), (384, 384), (384, 128), (192, 384),
-                       (96, 384)):
-            fn = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(
+        row = {"sdpa_us": round(
+            program_time(chained(sdpa), (q, k, v)) / ITERS * 1e6, 1)}
+        for bq, bk in ((128, 128), (384, 384), (192, 384), (96, 384)):
+            fn = chained(lambda q, k, v, bq=bq, bk=bk: flash_attention(
                 q, k, v, scale=SCALE, block_q=bq, block_k=bk))
             try:
-                row[f"flash_{bq}x{bk}_ms"] = round(
-                    component_time(fn, (q, k, v)) * 1e3, 3)
+                row[f"flash_{bq}x{bk}_us"] = round(
+                    program_time(fn, (q, k, v)) / ITERS * 1e6, 1)
             except Exception as e:
                 row[f"flash_{bq}x{bk}_error"] = repr(e)[:120]
         out[b] = row
