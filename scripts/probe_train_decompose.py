@@ -41,6 +41,7 @@ def timed(fn, args, n=5):
     float(jnp.sum(jax.tree.leaves(out)[0]))
     ts = []
     for _ in range(n):
+        out = None  # drop the previous output before re-running (HBM)
         t0 = time.perf_counter()
         out = fn(*args)
         float(jnp.sum(jax.tree.leaves(out)[0]))
@@ -96,18 +97,25 @@ def main():
     t = timed(f_fwd, (state.params, z, ctx, jax.random.PRNGKey(2)))
     res["fwd_ms"] = round(t * 1e3, 1)
     res["fwd_mfu"] = round(2 * n_params * tok / t / V5E_PEAK_BF16, 3)
+    print(json.dumps(res), flush=True)
 
-    # 2) same forward on fused wqkv/w13 weights (the serving layout)
+    # 2) same forward on fused wqkv/w13 weights (the serving layout);
+    # freed again before the backward measurement (HBM)
     fused = {"dit": fuse_dit_gemms(state.params["dit"])}
     t = timed(f_fwd, (fused, z, ctx, jax.random.PRNGKey(2)))
     res["fwd_fused_ms"] = round(t * 1e3, 1)
     res["fwd_fused_mfu"] = round(2 * n_params * tok / t / V5E_PEAK_BF16, 3)
+    print(json.dumps(res), flush=True)
+    for leaf in jax.tree.leaves(fused):
+        leaf.delete()
+    del fused
 
     # 3) forward + backward (grads only, no optimizer)
     f_grad = jax.jit(jax.grad(loss_only))
     t = timed(f_grad, (state.params, z, ctx, jax.random.PRNGKey(2)))
     res["fwd_bwd_ms"] = round(t * 1e3, 1)
     res["fwd_bwd_mfu"] = round(6 * n_params * tok / t / V5E_PEAK_BF16, 3)
+    print(json.dumps(res), flush=True)
 
     # 4) full train step (VAE encode + grads + clip + AdamW + metrics).
     # state is donated, so re-thread it through every call.
