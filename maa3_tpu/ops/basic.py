@@ -48,7 +48,13 @@ def dense_init(key: Array, d_in: int, d_out: int, bias: bool = True,
 
 
 def dense(params: dict, x: Array, compute_dtype=None) -> Array:
-    """y = x @ w + b. Casts inputs/weights to compute_dtype for the MXU."""
+    """y = x @ w + b. Casts inputs/weights to compute_dtype for the MXU.
+
+    A params dict holding {"w_q", "w_scale"} (ops/quant.py) dispatches to the
+    int8 w8a8 path — call sites stay agnostic to the serving quant mode."""
+    if "w_q" in params:
+        from maa3_tpu.ops.quant import dense_w8a8
+        return dense_w8a8(params, x, compute_dtype)
     w = params["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -60,6 +60,7 @@ class MAA3System:
         self._jit_cache: dict = {}
         self._serving_dit = None  # lazily fused/cast copy (see serving_dit)
         self._serving_src = None  # identity of params["dit"] the copy is from
+        self.serve_quant: Optional[str] = None  # None | "int8" (set_serving_quant)
 
     # -- construction ------------------------------------------------------
 
@@ -230,7 +231,18 @@ class MAA3System:
                 or self._serving_src is not self.params["dit"]):
             p = self.params["dit"]
             self._serving_src = p
-            if self.compute_dtype == jnp.bfloat16:
+            if self.serve_quant == "int8":
+                # fuse from fp32, quantize the hot per-step GEMMs from fp32
+                # (scales off the canonical weights, not a bf16 recast), then
+                # cast the remaining matmul weights to bf16.
+                from maa3_tpu.ops.quant import quantize_dit_serving
+                from maa3_tpu.utils.nprand import (cast_matmul_weights,
+                                                   fuse_dit_gemms)
+                if "wq" in p["blocks"]["attention"]:
+                    p = fuse_dit_gemms(p)
+                p = quantize_dit_serving(p)
+                p = cast_matmul_weights(p, jnp.bfloat16)
+            elif self.compute_dtype == jnp.bfloat16:
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
                 p = cast_matmul_weights(p, jnp.bfloat16)
@@ -238,6 +250,16 @@ class MAA3System:
                     p = fuse_dit_gemms(p)
             self._serving_dit = p
         return self._serving_dit
+
+    def set_serving_quant(self, mode: Optional[str]) -> None:
+        """Select the serving quantization mode: None (bf16/fp32 per
+        compute_dtype) or "int8" (w8a8 on the per-step DiT GEMMs — ~1.7x
+        faster ODE steps on v5e, small extra drift; see ops/quant.py).
+        Invalidates the cached serving copy."""
+        if mode not in (None, "int8"):
+            raise ValueError(f"unknown serving quant mode: {mode!r}")
+        self.serve_quant = mode
+        self._serving_dit = None
 
     # -- conditioning ------------------------------------------------------
 
