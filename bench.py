@@ -234,6 +234,42 @@ def main():
             RESULT["fp32_highest_error"] = repr(e)[:200]
             emit("fp32_highest_mode_failed")
 
+    # ---- stage 1c: int8 (w8a8) turbo serving mode ------------------------
+    # Per-step DiT GEMMs quantized to int8 (ops/quant.py): measured ODE
+    # 115.6 -> 93.6 ms and p50 0.220 -> 0.195 s on v5e, at ~2x the bf16
+    # mode's mel drift (5.1e-3 vs 2.5e-3 MAE vs fp32). Published as its own
+    # mode so the latency/quality tradeoff is explicit.
+    if remaining() > est_compile:
+        try:
+            from maa3_tpu.ops.quant import quantize_dit_serving
+            params8 = dict(pipe32.params)
+            params8["dit"] = cast_matmul_weights(
+                quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"])),
+                jnp.bfloat16)
+            pipe8 = dataclasses.replace(pipe, params=params8)
+
+            def run8(k):
+                return pipe8.generate(ctx, uc, k, latent_len=LATENT_LEN,
+                                      guidance_scale=5.0, steps=STEPS)[2]
+
+            note("stage 1c: compiling int8 serving generate")
+            mel8 = np.asarray(pipe8.generate(
+                ctx, uc, gen_key, latent_len=LATENT_LEN, guidance_scale=5.0,
+                steps=STEPS)[1], dtype=np.float32)
+            p50_8 = median_time(run8, (gen_key,))
+            RESULT.update({
+                "latency_p50_int8_s": round(p50_8, 4),
+                "vs_baseline_int8": round(NORTH_STAR_S / p50_8, 3),
+                "mel_mae_int8_vs_bf16": float(np.abs(mel8 - mel16).mean()),
+            })
+            if "mel_mae_bf16_vs_fp32" in RESULT:
+                RESULT["mel_mae_int8_vs_fp32"] = float(
+                    np.abs(mel8 - mel32).mean())
+            emit("int8_mode")
+        except Exception as e:
+            RESULT["int8_error"] = repr(e)[:200]
+            emit("int8_mode_failed")
+
     # ---- stage 2: batched throughput (bf16) ------------------------------
     best_tp, best_b = 0.0, 0
     tp_by_batch = {}

@@ -64,7 +64,12 @@ def dit_param_specs(params: dict, check_coverage: bool = True) -> dict:
     back to replicated raises (catches renames / new weight classes).
     """
 
-    COL = ("wq", "wk", "wv", "wk_y", "wv_y", "w1", "w3")
+    # wqkv/w13 are the serving/fused-training concatenations (fuse_dit_gemms).
+    # Their concat axis is the output dim, so column specs stay valid; note
+    # that with model>1 a shard spans the q/k/v (w1/w3) concat boundaries, so
+    # GSPMD resharding collectives appear at the downstream split — prefer
+    # the unfused layout for TP training (Trainer enforces this).
+    COL = ("wq", "wk", "wv", "wk_y", "wv_y", "w1", "w3", "wqkv", "w13")
     ROW = ("wo", "w2")
 
     def spec_for(path: tuple, leaf) -> P:

@@ -55,14 +55,21 @@ class Trainer:
                  log_every: int = 50, ckpt_every: int = 2000,
                  ckpt_dir: str = "logs/ckpt", n_model: int = 1,
                  train_cond: Optional[bool] = None, accum_steps: int = 1,
-                 mu_dtype=None):
+                 mu_dtype=None, fuse_gemms: bool = False):
         """system: MAA3System (provides spec, params, tokenizers).
 
         accum_steps: gradient accumulation (the reference's
         accumulate_grad_batches, main.py:786-790) — optimizer updates apply
         every accum_steps micro-batches; the lr multiplier scales with it.
         mu_dtype: AdamW first-moment storage dtype (bfloat16 frees ~1.5 GB
-        for the XL)."""
+        for the XL).
+        fuse_gemms: train on the concatenated wqkv/w13 layout (wider MXU
+        GEMMs in fwd AND bwd; same math — tests/test_fused_train.py).
+        Single-axis data-parallel only: with model>1 the concat axis spans
+        q/k/v shard boundaries and GSPMD inserts reshard collectives.
+        Checkpoints saved by a fused trainer use the fused layout (opt_state
+        moments are per-tensor); sync_system_params always hands the system
+        canonical unfused params."""
         self.system = system
         self.spec: ModelSpec = system.spec
         self.batch_size = batch_size
@@ -89,8 +96,17 @@ class Trainer:
             self.optimizer = optax.MultiSteps(
                 self.optimizer, every_k_schedule=self.accum_steps)
 
+        self.fuse_gemms = fuse_gemms
+        if fuse_gemms and self.mesh.shape["model"] > 1:
+            raise ValueError("fuse_gemms training requires model-parallel "
+                             "size 1 (the qkv concat axis does not align "
+                             "with TP shard boundaries)")
+
         # trainable vs frozen split
         trainable = {"dit": system.params["dit"]}
+        if fuse_gemms and "wq" in trainable["dit"]["blocks"]["attention"]:
+            from maa3_tpu.utils.nprand import fuse_dit_gemms
+            trainable["dit"] = fuse_dit_gemms(trainable["dit"])
         if self.train_cond and "cond" in system.params:
             trainable["cond"] = system.params["cond"]
         frozen = {"vae": system.params["vae"]}
@@ -230,8 +246,14 @@ class Trainer:
         return last_metrics
 
     def sync_system_params(self) -> None:
-        """Push the trained params back into the inference system."""
-        self.system.params["dit"] = self.state.params["dit"]
+        """Push the trained params back into the inference system (always in
+        the canonical unfused layout — serving_dit re-fuses its own copy)."""
+        dit = self.state.params["dit"]
+        if "wqkv" in dit["blocks"]["attention"]:
+            from maa3_tpu.utils.nprand import unfuse_dit_gemms
+            dit = unfuse_dit_gemms(dit, self.spec.dit.num_heads,
+                                   getattr(self.spec.dit, "n_kv_heads", None))
+        self.system.params["dit"] = dit
         self.system._serving_dit = None  # invalidate the fused serving copy
         if "cond" in self.state.params:
             self.system.params["cond"] = self.state.params["cond"]

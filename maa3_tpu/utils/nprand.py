@@ -70,6 +70,34 @@ def fuse_dit_gemms(dit_params):
     return p
 
 
+def unfuse_dit_gemms(dit_params, n_heads: int, n_kv_heads=None):
+    """Inverse of fuse_dit_gemms: split wqkv back into wq/wk/wv and w13 into
+    w1/w3. Used to keep checkpoints canonical when training with fused
+    params (Trainer fuse_gemms mode): saved state always uses the unfused
+    names, so fused-trained and unfused-trained checkpoints interoperate."""
+    import jax.numpy as jnp
+
+    p = dict(dit_params)
+    blocks = dict(p["blocks"])
+    att = dict(blocks["attention"])
+    if "wqkv" in att:
+        w = att.pop("wqkv")["w"]
+        d = w.shape[-2]
+        n_kv = n_heads if n_kv_heads is None else n_kv_heads
+        head_dim = d // n_heads
+        q_dim, kv_dim = n_heads * head_dim, n_kv * head_dim
+        wq, wk, wv = jnp.split(w, [q_dim, q_dim + kv_dim], axis=-1)
+        att.update(wq={"w": wq}, wk={"w": wk}, wv={"w": wv})
+        blocks["attention"] = att
+    ffn = dict(blocks["feed_forward"])
+    if "w13" in ffn:
+        w1, w3 = jnp.split(ffn.pop("w13")["w"], 2, axis=-1)
+        ffn.update(w1={"w": w1}, w3={"w": w3})
+        blocks["feed_forward"] = ffn
+    p["blocks"] = blocks
+    return p
+
+
 def unfreeze_zero_init(dit_params, key, scale: float = 0.02):
     """Give a RANDOM-INIT DiT non-trivial dynamics for benchmarks/parity
     sweeps. At init the reference zero-inits every adaLN modulation, the

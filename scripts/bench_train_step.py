@@ -49,6 +49,9 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="AdamW first-moment storage dtype (bfloat16 frees "
                          "~1.5 GB for the XL, letting dots_no_batch fit)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="train with fused wqkv/w13 params (wider MXU GEMMs "
+                         "fwd+bwd; single-axis DP only — TP wants unfused)")
     ap.add_argument("--small", action="store_true")  # CPU smoke
     ap.add_argument("--profile", type=str, default="",
                     help="capture a jax.profiler trace of 3 steps to DIR")
@@ -72,6 +75,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     dit_params = dit_init(key, dit_cfg)
+    if opt.fuse:
+        from maa3_tpu.utils.nprand import fuse_dit_gemms
+        dit_params = fuse_dit_gemms(dit_params)
     vae_params = vae_init(jax.random.PRNGKey(1), vae_cfg)
     n_params = dit_param_count(dit_params)
 
@@ -115,6 +121,7 @@ def main():
         "latent_len": opt.latent,
         "remat": not opt.no_remat,
         "remat_policy": opt.remat_policy,
+        "fused_gemms": opt.fuse,
         "mu_dtype": opt.mu_dtype,
         "step_ms": round(step_t * 1e3, 1),
         "steps_per_sec": round(1.0 / step_t, 2),

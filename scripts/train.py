@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient accumulation (accumulate_grad_batches)")
+    p.add_argument("--fuse_gemms", action="store_true",
+                   help="train on the fused wqkv/w13 layout (wider MXU "
+                        "GEMMs; single-axis data-parallel only)")
     p.add_argument("--mu_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="AdamW first-moment dtype (bfloat16 frees ~1.5 GB)")
@@ -131,7 +134,8 @@ def main():
     trainer = Trainer(system, batch_size=batch_size, ckpt_dir=opt.ckpt_dir,
                       use_ema=opt.use_ema, n_model=opt.n_model,
                       accum_steps=opt.accum_steps,
-                      mu_dtype=_jnp.dtype(opt.mu_dtype))
+                      mu_dtype=_jnp.dtype(opt.mu_dtype),
+                      fuse_gemms=opt.fuse_gemms)
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 

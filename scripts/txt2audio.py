@@ -59,6 +59,10 @@ def parse_args():
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--fp32", action="store_true",
                    help="run the DiT in fp32 (parity mode)")
+    p.add_argument("--quant", type=str, default="", choices=["", "int8"],
+                   help="serving quantization: int8 runs the per-step DiT "
+                        "GEMMs w8a8 on the MXU (~19%% faster ODE, ~2x the "
+                        "bf16 mode's mel drift)")
     p.add_argument("--interactive", action="store_true",
                    help="REPL: read prompts from stdin and generate with "
                         "warm jits (first prompt compiles; later ones run "
@@ -85,6 +89,8 @@ def main():
         cfg_paths, ckpt_path=opt.resume or None,
         vocoder_dir=opt.vocoder_ckpt or None, seed=opt.seed,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16)
+    if opt.quant:
+        system.set_serving_quant(opt.quant)
     if not opt.resume:
         print("WARNING: no checkpoint given (-r); generating with random weights")
 
