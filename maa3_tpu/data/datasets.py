@@ -81,7 +81,7 @@ class TextSpecDataset:
 
     def __init__(self, split: str, dataset_name: str, spec_crop_len: int = 624,
                  drop: float = 0.0, mel_num: int = 80, seed: int = 0,
-                 lazy: bool = False):
+                 lazy: bool = False, latent_downsample: int = 2):
         self.samples = read_tsv(dataset_name)
         if split in ("valid", "test"):
             self.samples = self.samples[:100]
@@ -90,6 +90,7 @@ class TextSpecDataset:
         self.mel_num = mel_num
         self.rng = np.random.RandomState(seed)
         self.lazy = lazy
+        self.latent_downsample = latent_downsample
         self._native = None
 
     def __len__(self) -> int:
@@ -102,6 +103,18 @@ class TextSpecDataset:
                        "struct_caption": data.get("caption", data["ori_cap"])}
         else:
             caption = {"ori_caption": "", "struct_caption": ""}
+        if "moments_path" in data and data["moments_path"]:
+            # cached VAE posterior moments (scripts/encode_latents.py):
+            # crop/tile on the latent grid (crop_len // latent_downsample).
+            # encode(crop(mel)) == crop(encode(mel)) away from clip edges
+            # (the VAE is convolutional); boundary frames differ within the
+            # encoder's receptive field — measured negligible vs the saved
+            # per-step encode.
+            m = _load_mel(data["moments_path"], self.mel_num, self.crop_len, 0.0)
+            tgt = self.crop_len // self.latent_downsample
+            if m.shape[1] < tgt:
+                m = np.tile(m, math.ceil(tgt / m.shape[1]))
+            return {"caption": caption, "moments": m[:, :tgt]}
         if self.lazy:
             return {"caption": caption, "mel_path": data["mel_path"]}
         spec = _load_mel(data["mel_path"], self.mel_num, self.crop_len, 0.0)
@@ -115,6 +128,9 @@ class TextSpecDataset:
             "ori_caption": [it["caption"]["ori_caption"] for it in items],
             "struct_caption": [it["caption"]["struct_caption"] for it in items],
         }
+        if "moments" in items[0]:
+            return {"moments": np.stack([it["moments"] for it in items]),
+                    "caption": caption}
         if self.lazy:
             if self._native is None:
                 from maa3_tpu.native import NativeLoader

@@ -172,7 +172,11 @@ class Trainer:
 
     def prepare_batch(self, raw: dict) -> Dict[str, Array]:
         """Host collate output -> device arrays on the data-sharded mesh."""
-        batch: Dict[str, np.ndarray] = {"mel": np.asarray(raw["image"], np.float32)}
+        batch: Dict[str, np.ndarray] = {}
+        if "moments" in raw:  # cached VAE posteriors (encode_latents.py)
+            batch["moments"] = np.asarray(raw["moments"], np.float32)
+        else:
+            batch["mel"] = np.asarray(raw["image"], np.float32)
         if self.train_cond and self.spec.cond_kind in ("clap_flan", "flan"):
             cap = raw["caption"]
             ori_ids, ori_mask = self.system.bert_tokenizer(cap["ori_caption"])
@@ -195,8 +199,11 @@ class Trainer:
     def maybe_rescale_by_std(self, batch: Dict[str, Array], key: Array) -> None:
         if self._scale_by_std_done:
             return
-        moments = vae_encode_moments(self.state.frozen["vae"], self.spec.vae,
-                                     batch["mel"])
+        if "moments" in batch:
+            moments = batch["moments"]
+        else:
+            moments = vae_encode_moments(self.state.frozen["vae"],
+                                         self.spec.vae, batch["mel"])
         z = gaussian_sample(moments, key)
         scale = 1.0 / float(jnp.std(z.flatten()))
         print(f"### USING STD-RESCALING: scale_factor = {scale:.5f} ###")

@@ -66,7 +66,14 @@ def make_train_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig, optimizer,
 
     def loss_fn(params, frozen, scale_factor, batch, key):
         kvae, kcfm = jax.random.split(key)
-        moments = vae_encode_moments(frozen["vae"], vae_cfg, batch["mel"])
+        # cached-latent path: batches carrying precomputed VAE posterior
+        # moments (scripts/encode_latents.py) skip the frozen encoder — the
+        # posterior is still *sampled* per step, so training semantics are
+        # unchanged (unlike caching sampled z)
+        if "moments" in batch:
+            moments = batch["moments"]
+        else:
+            moments = vae_encode_moments(frozen["vae"], vae_cfg, batch["mel"])
         z = gaussian_sample(moments, kvae)
         z = jax.lax.stop_gradient(z) * scale_factor
 
@@ -106,7 +113,11 @@ def make_eval_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig,
 
     def eval_step(state: TrainState, batch: dict, key: Array):
         kvae, kcfm = jax.random.split(key)
-        moments = vae_encode_moments(state.frozen["vae"], vae_cfg, batch["mel"])
+        if "moments" in batch:
+            moments = batch["moments"]
+        else:
+            moments = vae_encode_moments(state.frozen["vae"], vae_cfg,
+                                         batch["mel"])
         z = gaussian_sample(moments, kvae) * state.scale_factor
         context = (conditioner(state.params, batch) if conditioner is not None
                    else batch["context"])
