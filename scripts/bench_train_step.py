@@ -49,6 +49,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="AdamW first-moment storage dtype (bfloat16 frees "
                          "~1.5 GB for the XL, letting dots_no_batch fit)")
+    ap.add_argument("--cached_latents", action="store_true",
+                    help="feed precomputed VAE posterior moments instead of "
+                         "mel (the scripts/encode_latents.py training path) "
+                         "- measures the step without the frozen encode")
     ap.add_argument("--fuse", action="store_true",
                     help="train with fused wqkv/w13 params (wider MXU GEMMs "
                          "fwd+bwd; single-axis DP only — TP wants unfused)")
@@ -88,12 +92,21 @@ def main():
                                          compute_dtype=jnp.bfloat16),
                          donate_argnums=(0,))
 
-    batch = {
-        "mel": jax.random.normal(key, (opt.batch, vae_cfg.in_channels,
-                                       opt.latent * 2), jnp.float32),
-        "context": jax.random.normal(key, (opt.batch, ctx_len, ctx_dim),
-                                     jnp.float32),
-    }
+    if opt.cached_latents:
+        batch = {
+            "moments": jax.random.normal(
+                key, (opt.batch, 2 * vae_cfg.embed_dim, opt.latent),
+                jnp.float32),
+            "context": jax.random.normal(key, (opt.batch, ctx_len, ctx_dim),
+                                         jnp.float32),
+        }
+    else:
+        batch = {
+            "mel": jax.random.normal(key, (opt.batch, vae_cfg.in_channels,
+                                           opt.latent * 2), jnp.float32),
+            "context": jax.random.normal(key, (opt.batch, ctx_len, ctx_dim),
+                                         jnp.float32),
+        }
 
     state, m = train_step(state, batch, jax.random.PRNGKey(2))  # compile
     float(m["loss"])  # forced fetch: block_until_ready can under-report
@@ -122,6 +135,7 @@ def main():
         "remat": not opt.no_remat,
         "remat_policy": opt.remat_policy,
         "fused_gemms": opt.fuse,
+        "cached_latents": opt.cached_latents,
         "mu_dtype": opt.mu_dtype,
         "step_ms": round(step_t * 1e3, 1),
         "steps_per_sec": round(1.0 / step_t, 2),

@@ -106,8 +106,11 @@ def main():
     res["fwd_fused_ms"] = round(t * 1e3, 1)
     res["fwd_fused_mfu"] = round(2 * n_params * tok / t / V5E_PEAK_BF16, 3)
     print(json.dumps(res), flush=True)
-    for leaf in jax.tree.leaves(fused):
-        leaf.delete()
+    # free ONLY the arrays fusion created — every other leaf is shared by
+    # reference with state.params (fuse_dit_gemms copies dicts, not arrays),
+    # so a blanket tree-wide delete() kills the live training params
+    fused["dit"]["blocks"]["attention"]["wqkv"]["w"].delete()
+    fused["dit"]["blocks"]["feed_forward"]["w13"]["w"].delete()
     del fused
 
     # 3) forward + backward (grads only, no optimizer)
