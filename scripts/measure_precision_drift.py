@@ -112,6 +112,16 @@ def main():
             base16, dit_cfg=dataclasses.replace(dit, fp32_scores=True,
                                                 fp32_residual=True)),
     }
+    # int8 (w8a8) turbo mode: per-step GEMMs quantized (ops/quant.py),
+    # fp32 residual carry as in the serving default
+    from maa3_tpu.ops.quant import quantize_dit_serving
+    params8 = dict(pipe32.params)
+    params8["dit"] = cast_matmul_weights(
+        quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"])),
+        jnp.bfloat16)
+    modes["int8+fp32_residual"] = dataclasses.replace(
+        base16, params=params8,
+        dit_cfg=dataclasses.replace(dit, fp32_residual=True))
 
     out = {"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
            "latent_rms": float(np.sqrt((z32 ** 2).mean()))}

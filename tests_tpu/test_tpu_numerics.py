@@ -102,3 +102,33 @@ def test_pallas_conv_snake_compiled_matches_interpret():
                                          dilation=dil, interpret=True))
         np.testing.assert_allclose(yc, yi, rtol=2e-5, atol=2e-5,
                                    err_msg=f"dilation {dil}")
+
+
+def test_int8_serving_close_to_bf16_on_tpu():
+    """The w8a8 serving mode on the real int8 MXU path: trajectory stays
+    within quantization-error distance of the bf16 mode (drift gate; the
+    XL-scale numbers live in PARITY.md / probe_int8_serving)."""
+    from maa3_tpu.ops.quant import quantize_dit_serving
+    from maa3_tpu.utils.nprand import cast_matmul_weights, fuse_dit_gemms
+
+    pipe = _small_pipe(jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    k = jax.random.PRNGKey(2)
+    p16 = dict(pipe.params)
+    p16["dit"] = fuse_dit_gemms(
+        cast_matmul_weights(pipe.params["dit"], jnp.bfloat16))
+    pipe16 = dataclasses.replace(pipe, params=p16)
+    p8 = dict(pipe.params)
+    p8["dit"] = cast_matmul_weights(
+        quantize_dit_serving(fuse_dit_gemms(pipe.params["dit"])),
+        jnp.bfloat16)
+    pipe8 = dataclasses.replace(pipe, params=p8)
+    z16 = np.asarray(pipe16.generate(ctx, uc, k, latent_len=64, steps=8)[0],
+                     np.float32)
+    z8 = np.asarray(pipe8.generate(ctx, uc, k, latent_len=64, steps=8)[0],
+                    np.float32)
+    rms = float(np.sqrt((z16 ** 2).mean()))
+    assert np.isfinite(z8).all()
+    assert float(np.abs(z8 - z16).mean()) / rms < 5e-2, (
+        float(np.abs(z8 - z16).mean()), rms)
