@@ -69,21 +69,25 @@ def dense_w8a8(params: dict, x: Array, compute_dtype=None) -> Array:
 
 
 def quantize_dit_serving(dit_params: dict) -> dict:
-    """Quantize the per-ODE-step fat GEMMs of a *fused* DiT param tree
-    (utils.nprand.fuse_dit_gemms output) to int8: blocks.attention.wqkv and
-    blocks.feed_forward.{w13, w2}. Everything else (wo — measured slower
-    under dynamic quant at its 1152x1152 shape — plus all hoisted/one-time
-    GEMMs, norms, gates) is left untouched. Works on the stacked-depth
-    pytree; apply BEFORE cast_matmul_weights so scales come from fp32."""
+    """Quantize the per-ODE-step fat GEMMs of a DiT param tree to int8:
+    the qkv and SwiGLU projections plus w2 — in either layout (fused wqkv/
+    w13 from utils.nprand.fuse_dit_gemms, or the canonical unfused names —
+    the unfused form is what tensor-parallel serving shards, since the
+    fused concat axis does not align with TP shard boundaries). Everything
+    else (wo — measured slower under dynamic quant at its 1152x1152
+    shape — plus all hoisted/one-time GEMMs, norms, gates) is left
+    untouched. Works on the stacked-depth pytree; apply BEFORE
+    cast_matmul_weights so scales come from fp32."""
     p = dict(dit_params)
     blocks = dict(p["blocks"])
     att = dict(blocks["attention"])
-    if "wqkv" in att:
-        att["wqkv"] = quantize_weight_int8(att["wqkv"]["w"])
+    for k in ("wqkv",) if "wqkv" in att else ("wq", "wk", "wv"):
+        att[k] = quantize_weight_int8(att[k]["w"])
     blocks["attention"] = att
     ffn = dict(blocks["feed_forward"])
-    if "w13" in ffn:  # dense SwiGLU; MoE expert stacks stay unquantized
-        ffn["w13"] = quantize_weight_int8(ffn["w13"]["w"])
+    if "w13" in ffn or "w1" in ffn:  # dense SwiGLU; MoE experts stay float
+        for k in ("w13",) if "w13" in ffn else ("w1", "w3"):
+            ffn[k] = quantize_weight_int8(ffn[k]["w"])
         ffn["w2"] = quantize_weight_int8(ffn["w2"]["w"])
         blocks["feed_forward"] = ffn
     p["blocks"] = blocks

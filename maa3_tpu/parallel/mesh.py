@@ -76,6 +76,13 @@ def dit_param_specs(params: dict, check_coverage: bool = True) -> dict:
         names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         nd = leaf.ndim
         if "blocks" in names:
+            if names[-1] == "w_scale":
+                # int8 per-output-channel scales (ops/quant.py): (depth, out)
+                # — follow the output dim: sharded for column-parallel,
+                # replicated for row-parallel (out is the un-sharded dim)
+                if any(n in names for n in COL):
+                    return P(*([None] * (nd - 1)), "model")
+                return P()
             if any(n in names for n in COL):
                 # (depth[, experts], in, out) -> shard output (column)
                 return P(*([None] * (nd - 1)), "model")

@@ -61,6 +61,7 @@ class MAA3System:
         self._serving_dit = None  # lazily fused/cast copy (see serving_dit)
         self._serving_src = None  # identity of params["dit"] the copy is from
         self.serve_quant: Optional[str] = None  # None | "int8" (set_serving_quant)
+        self._serving_mesh = None  # tensor-parallel serving (shard_serving)
 
     # -- construction ------------------------------------------------------
 
@@ -231,14 +232,20 @@ class MAA3System:
                 or self._serving_src is not self.params["dit"]):
             p = self.params["dit"]
             self._serving_src = p
+            # with tensor-parallel serving the fused wqkv/w13 concat axis
+            # would span shard boundaries (GSPMD reshards at the split) —
+            # keep the canonical unfused layout and let the column/row
+            # specs shard each projection cleanly
+            tp = (self._serving_mesh is not None
+                  and self._serving_mesh.shape.get("model", 1) > 1)
             if self.serve_quant == "int8":
-                # fuse from fp32, quantize the hot per-step GEMMs from fp32
-                # (scales off the canonical weights, not a bf16 recast), then
-                # cast the remaining matmul weights to bf16.
+                # fuse (single-chip only) from fp32, quantize the hot
+                # per-step GEMMs from fp32 (scales off the canonical
+                # weights, not a bf16 recast), then cast the rest to bf16.
                 from maa3_tpu.ops.quant import quantize_dit_serving
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
-                if "wq" in p["blocks"]["attention"]:
+                if not tp and "wq" in p["blocks"]["attention"]:
                     p = fuse_dit_gemms(p)
                 p = quantize_dit_serving(p)
                 p = cast_matmul_weights(p, jnp.bfloat16)
@@ -246,10 +253,24 @@ class MAA3System:
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
                 p = cast_matmul_weights(p, jnp.bfloat16)
-                if "wq" in p["blocks"]["attention"]:
+                if not tp and "wq" in p["blocks"]["attention"]:
                     p = fuse_dit_gemms(p)
+            if self._serving_mesh is not None:
+                from maa3_tpu.parallel.mesh import shard_params
+                p = shard_params(p, self._serving_mesh)
             self._serving_dit = p
         return self._serving_dit
+
+    def shard_serving(self, mesh) -> None:
+        """Tensor-parallel serving: shard the serving DiT over `mesh`'s
+        'model' axis (Megatron column/row specs, parallel.mesh.dit_param_specs
+        — XLA inserts the wo/w2 all-reduces from the shardings alone). The
+        per-step GEMM weights and their HBM reads split model-ways, cutting
+        small-batch ODE latency; pass None to return to single-chip serving.
+        Composes with set_serving_quant("int8") (per-tensor quantization in
+        the unfused layout)."""
+        self._serving_mesh = mesh
+        self._serving_dit = None
 
     def set_serving_quant(self, mode: Optional[str]) -> None:
         """Select the serving quantization mode: None (bf16/fp32 per

@@ -190,3 +190,50 @@ def test_tp_sharded_forward_matches_single_device():
             sharded, xs, ts, cs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+@requires_8
+def test_tp_serving_matches_single_device():
+    """MAA3System.shard_serving: the tensor-parallel sampler (column/row
+    sharded per-step GEMMs, XLA-inserted all-reduces) must reproduce the
+    single-device sample_cfg numerics, in float and int8 serving modes."""
+    from tests.test_train import _tiny_system
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        system = _tiny_system(td)
+    system.compute_dtype = jnp.float32
+    from maa3_tpu.utils.nprand import unfreeze_zero_init
+    system.params["dit"] = unfreeze_zero_init(system.params["dit"],
+                                              jax.random.PRNGKey(3))
+
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 24), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    k = jax.random.PRNGKey(2)
+
+    z1 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+
+    system.shard_serving(make_mesh(1, 2, devices=jax.devices()[:2]))
+    z2 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    np.testing.assert_allclose(z2, z1, rtol=2e-4, atol=2e-5)
+
+    # data x model: batch rows split over 'data', weights over 'model'
+    system.shard_serving(make_mesh(2, 2, devices=jax.devices()[:4]))
+    z4 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    np.testing.assert_allclose(z4, z1, rtol=2e-4, atol=2e-5)
+
+    # int8 + TP: per-tensor quantization in the unfused layout
+    system.set_serving_quant("int8")
+    p = system.serving_dit()
+    att = p["blocks"]["attention"]
+    assert "wqkv" not in att and att["wq"]["w_q"].dtype == jnp.int8
+    z8 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    assert np.isfinite(z8).all()
+    rms = float(np.sqrt((z1 ** 2).mean()))
+    assert float(np.abs(z8 - z1).mean()) / rms < 5e-2
+
+    # back to single-chip serving
+    system.set_serving_quant(None)
+    system.shard_serving(None)
+    z0 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    np.testing.assert_allclose(z0, z1, rtol=1e-6)
