@@ -63,6 +63,11 @@ def parse_args():
                    help="serving quantization: int8 runs the per-step DiT "
                         "GEMMs w8a8 on the MXU (~19%% faster ODE, ~2x the "
                         "bf16 mode's mel drift)")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel serving over n_model chips "
+                        "(devices reshape to (n_dev/n_model, n_model); "
+                        "weights shard Megatron-style, XLA adds the "
+                        "all-reduces)")
     p.add_argument("--interactive", action="store_true",
                    help="REPL: read prompts from stdin and generate with "
                         "warm jits (first prompt compiles; later ones run "
@@ -89,6 +94,9 @@ def main():
         cfg_paths, ckpt_path=opt.resume or None,
         vocoder_dir=opt.vocoder_ckpt or None, seed=opt.seed,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16)
+    if opt.n_model > 1:
+        from maa3_tpu.parallel.mesh import make_mesh
+        system.shard_serving(make_mesh(n_model=opt.n_model))
     if opt.quant:
         system.set_serving_quant(opt.quant)
     if not opt.resume:
