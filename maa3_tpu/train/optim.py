@@ -39,7 +39,10 @@ def make_optimizer(base_lr: float = 3.0e-6, lr_multiplier: float = 16.0,
                    warm_up_steps: int = 10000, grad_clip: float = 1.0,
                    weight_decay: float = 1e-2,
                    schedule: Optional[optax.Schedule] = None,
-                   mu_dtype=None) -> optax.GradientTransformation:
+                   mu_dtype=None,
+                   factored: bool = False,
+                   min_dim_size_to_factor: int = 128
+                   ) -> optax.GradientTransformation:
     """AdamW + linear-warmup schedule + global-norm clip.
 
     lr_multiplier mirrors `accumulate_grad_batches * ngpu * bs` (main.py:786-790);
@@ -47,9 +50,27 @@ def make_optimizer(base_lr: float = 3.0e-6, lr_multiplier: float = 16.0,
     mu_dtype=jnp.bfloat16 stores the first moment in bf16 (params and the
     second moment stay fp32): frees ~1.5 GB HBM for the XL, which is what
     lets the no-recompute remat policy fit at batch 16+ on a 16 GB chip.
+    factored=True swaps the per-element second moment for Adafactor's
+    rank-1 row/column factorization (with Adam-style first moment kept):
+    the XL's 3 GB fp32 `nu` becomes ~2 MB of factors, removing its 6 GB/step
+    of HBM read+write traffic — the measured optimizer phase is the last
+    ~13% of the train step once fwd+bwd sit at the remat-policy bound
+    (scripts/probe_train_decompose.py). Opt-in: the reference recipe is
+    exact AdamW; factored changes the update's denominator statistics.
     """
     if schedule is None:
         schedule = lambda_linear_schedule(base_lr * lr_multiplier, warm_up_steps)
+    if factored:
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adafactor(
+                schedule, decay_rate=0.999, multiply_by_parameter_scale=False,
+                clipping_threshold=None, momentum=0.9,
+                dtype_momentum=mu_dtype or jnp.float32,
+                weight_decay_rate=weight_decay, eps=1e-30,
+                min_dim_size_to_factor=min_dim_size_to_factor,
+                factored=True),
+        )
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,

@@ -49,6 +49,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="AdamW first-moment storage dtype (bfloat16 frees "
                          "~1.5 GB for the XL, letting dots_no_batch fit)")
+    ap.add_argument("--factored", action="store_true",
+                    help="Adafactor-style factored second moment (kills the "
+                         "3 GB nu read+write per step; opt-in, not the "
+                         "reference AdamW recipe)")
     ap.add_argument("--cached_latents", action="store_true",
                     help="feed precomputed VAE posterior moments instead of "
                          "mel (the scripts/encode_latents.py training path) "
@@ -85,7 +89,8 @@ def main():
     vae_params = vae_init(jax.random.PRNGKey(1), vae_cfg)
     n_params = dit_param_count(dit_params)
 
-    optimizer = make_optimizer(mu_dtype=jnp.dtype(opt.mu_dtype))
+    optimizer = make_optimizer(mu_dtype=jnp.dtype(opt.mu_dtype),
+                               factored=opt.factored)
     state = create_train_state({"dit": dit_params}, {"vae": vae_params},
                                optimizer, use_ema=False)
     train_step = jax.jit(make_train_step(dit_cfg, vae_cfg, optimizer,
@@ -136,6 +141,7 @@ def main():
         "remat_policy": opt.remat_policy,
         "fused_gemms": opt.fuse,
         "cached_latents": opt.cached_latents,
+        "factored": opt.factored,
         "mu_dtype": opt.mu_dtype,
         "step_ms": round(step_t * 1e3, 1),
         "steps_per_sec": round(1.0 / step_t, 2),

@@ -78,3 +78,29 @@ def test_trainer_prepare_batch_passthrough(tmp_path):
     batch = tr.prepare_batch(raw)
     assert "moments" in batch and "mel" not in batch
     assert batch["moments"].shape == (8, 8, 16)
+
+
+def test_factored_optimizer_runs_and_descends():
+    """make_optimizer(factored=True): Adafactor second moment + Adam-style
+    momentum must optimize the toy CFM objective (loss decreasing over a
+    few steps) and keep state tiny (no full-size nu tensor)."""
+    dit_cfg, vae_cfg, dit_p, vae_p = _setup()
+    optimizer = make_optimizer(base_lr=1e-3, lr_multiplier=1.0,
+                               warm_up_steps=1, factored=True,
+                               min_dim_size_to_factor=8)
+    state = create_train_state({"dit": dit_p}, {"vae": vae_p}, optimizer)
+    step = jax.jit(make_train_step(dit_cfg, vae_cfg, optimizer,
+                                   compute_dtype=jnp.float32))
+    batch = {"mel": jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32)),
+             "context": jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32))}
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(7))  # fixed batch+key
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    # factored: total optimizer state ~= mu (1x params) + tiny factors,
+    # vs AdamW's 2x params
+    p_total = sum(x.size for x in jax.tree.leaves(state.params))
+    s_total = sum(x.size for x in jax.tree.leaves(state.opt_state)
+                  if hasattr(x, "size"))
+    assert s_total < 1.5 * p_total, (s_total, p_total)
