@@ -54,10 +54,12 @@ def program_time(fn, args, n=5):
 
 
 def chained_same_shape(apply_fn):
+    # params are an explicit jit argument — closing over them would bake
+    # the weights into the program (413s from the remote-compile tunnel)
     @jax.jit
-    def run(x):
+    def run(p, x):
         def body(c, _):
-            o = apply_fn(c)
+            o = apply_fn(p, c)
             return o.astype(c.dtype), None
         c, _ = jax.lax.scan(body, x, None, length=ITERS)
         return c
@@ -66,9 +68,9 @@ def chained_same_shape(apply_fn):
 
 def chained_scalar_dep(apply_fn):
     @jax.jit
-    def run(x):
+    def run(p, x):
         def body(c, _):
-            o = apply_fn(x * (1.0 + 1e-9 * c))
+            o = apply_fn(p, x * (1.0 + 1e-9 * c))
             return jnp.mean(o).astype(jnp.float32), None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return c
@@ -90,8 +92,8 @@ def main():
     # conv_pre (80 -> 1536, k7)
     x = jax.random.normal(key, (1, cfg.num_mels, t_len), jnp.float32)
     t = program_time(chained_scalar_dep(
-        lambda z: conv1d(params["conv_pre"], z, padding=3,
-                         compute_dtype=DT)), (x,)) / ITERS
+        lambda p, z: conv1d(p, z, padding=3, compute_dtype=DT)),
+        (params["conv_pre"], x)) / ITERS
     res["conv_pre_ms"] = round(t * 1e3, 2)
     total += t
 
@@ -100,27 +102,28 @@ def main():
         cin, cout = ch // (2 ** i), ch // (2 ** (i + 1))
         x = jax.random.normal(key, (1, cin, t_len), jnp.float32)
         t = program_time(chained_scalar_dep(
-            lambda z, i=i, u=u, k=k: conv_transpose1d_polyphase(
-                params["ups"][i], z, stride=u, padding=(k - u) // 2,
+            lambda p, z, u=u, k=k: conv_transpose1d_polyphase(
+                p, z, stride=u, padding=(k - u) // 2,
                 compute_dtype=DT)),
-            (x,)) / ITERS
+            (params["ups"][i], x)) / ITERS
         res[f"up{i}_ms"] = round(t * 1e3, 2)
         total += t
         t_len *= u
 
         y = jax.random.normal(key, (1, cout, t_len), jnp.float32)
 
-        def stage(z, i=i):
+        def stage(rbs, z):
             acc = None
             for j in range(num_kernels):
                 kk = cfg.resblock_kernel_sizes[j]
                 dd = cfg.resblock_dilation_sizes[j]
-                o = _amp1_apply(params["resblocks"][i * num_kernels + j], z,
-                                kk, dd, cfg, DT, False, 0)
+                o = _amp1_apply(rbs[j], z, kk, dd, cfg, DT, False, 0)
                 acc = o if acc is None else acc + o
             return acc / num_kernels
 
-        t = program_time(chained_same_shape(stage), (y,)) / ITERS
+        rbs = [params["resblocks"][i * num_kernels + j]
+               for j in range(num_kernels)]
+        t = program_time(chained_same_shape(stage), (rbs, y)) / ITERS
         res[f"res{i}_ms"] = round(t * 1e3, 2)
         res[f"res{i}_shape"] = [cout, t_len]
         total += t
