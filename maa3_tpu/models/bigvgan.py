@@ -21,8 +21,8 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from maa3_tpu.ops.conv import (conv1d, conv1d_init, conv_transpose1d,
-                                conv_transpose1d_polyphase)
+from maa3_tpu.ops.conv import (conv1d, conv1d_init, conv1d_unfold,
+                                conv_transpose1d, conv_transpose1d_polyphase)
 from maa3_tpu.ops.resample import Activation1d
 
 Array = jax.Array
@@ -162,6 +162,29 @@ def _get_padding(k: int, d: int) -> int:
     return (k * d - d) // 2
 
 
+def _resolve_unfold_cutoff() -> int:
+    """Channel cutoff below which stride-1 convs use the unfold-GEMM lowering.
+
+    MAA3_UNFOLD_CUTOFF overrides; default 192 on TPU (where the narrow-stage
+    lax.conv lowering starves the MXU — see ops/conv.py::conv1d_unfold), 0 on
+    CPU (keep the stock path; equivalence is unit-tested explicitly)."""
+    import os
+    env = os.environ.get("MAA3_UNFOLD_CUTOFF")
+    if env is not None:
+        return int(env)
+    return 192 if jax.default_backend() != "cpu" else 0
+
+
+def _conv_site(p: dict, x: Array, k: int, d: int, compute_dtype,
+               unfold_cutoff: int) -> Array:
+    """One stride-1 resblock conv, routed by channel width."""
+    pad = _get_padding(k, d)
+    if x.shape[1] <= unfold_cutoff:
+        return conv1d_unfold(p, x, padding=pad, dilation=d,
+                             compute_dtype=compute_dtype)
+    return conv1d(p, x, padding=pad, dilation=d, compute_dtype=compute_dtype)
+
+
 def _amp1_init(key: Array, ch: int, k: int, dilations: Sequence[int],
                cfg: BigVGANConfig) -> dict:
     ks = jax.random.split(key, 6)
@@ -184,7 +207,7 @@ def _fused_site(act_p: dict, conv_p: dict, x: Array, k: int, d: int,
 
 def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
-                fused_cutoff: int = 0) -> Array:
+                fused_cutoff: int = 0, unfold_cutoff: int = 0) -> Array:
     fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
     aa = _make_aa(cfg, use_pallas)
     # activations alternate [::2] / [1::2] (models.py:75)
@@ -195,11 +218,11 @@ def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
             xt = _fused_site(p["acts"][2 * i + 1], p["convs2"][i], xt, k, 1, cfg)
         else:
             xt = aa(p["acts"][2 * i])(x)
-            xt = conv1d(p["convs1"][i], xt, padding=_get_padding(k, d),
-                        dilation=d, compute_dtype=compute_dtype)
+            xt = _conv_site(p["convs1"][i], xt, k, d, compute_dtype,
+                            unfold_cutoff)
             xt = aa(p["acts"][2 * i + 1])(xt)
-            xt = conv1d(p["convs2"][i], xt, padding=_get_padding(k, 1),
-                        compute_dtype=compute_dtype)
+            xt = _conv_site(p["convs2"][i], xt, k, 1, compute_dtype,
+                            unfold_cutoff)
         x = xt + x
     return x
 
@@ -215,7 +238,7 @@ def _amp2_init(key: Array, ch: int, k: int, dilations: Sequence[int],
 
 def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
-                fused_cutoff: int = 0) -> Array:
+                fused_cutoff: int = 0, unfold_cutoff: int = 0) -> Array:
     fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
     aa = _make_aa(cfg, use_pallas)
     for i, d in enumerate(dilations):
@@ -224,8 +247,8 @@ def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                              x.astype(compute_dtype), k, d, cfg)
         else:
             xt = aa(p["acts"][i])(x)
-            xt = conv1d(p["convs"][i], xt, padding=_get_padding(k, d),
-                        dilation=d, compute_dtype=compute_dtype)
+            xt = _conv_site(p["convs"][i], xt, k, d, compute_dtype,
+                            unfold_cutoff)
         x = xt + x
     return x
 
@@ -278,6 +301,7 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
     fused_cutoff = 0
     if use_pallas:
         fused_cutoff = int(os.environ.get("MAA3_AMP_FUSED_CUTOFF", "192"))
+    unfold_cutoff = _resolve_unfold_cutoff()
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
     aa = _make_aa(cfg, use_pallas)
@@ -298,7 +322,7 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
             rb = params["resblocks"][i * num_kernels + j]
             y = amp_apply(rb, x, cfg.resblock_kernel_sizes[j],
                           cfg.resblock_dilation_sizes[j], cfg, compute_dtype,
-                          use_pallas, fused_cutoff)
+                          use_pallas, fused_cutoff, unfold_cutoff)
             xs = y if xs is None else xs + y
         x = xs / num_kernels
     if cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff:
@@ -306,6 +330,6 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
                         x.astype(compute_dtype), 7, 1, cfg)
     else:
         x = aa(params["activation_post"])(x)
-        x = conv1d(params["conv_post"], x, padding=3,
-                   compute_dtype=compute_dtype)
+        x = _conv_site(params["conv_post"], x, 7, 1, compute_dtype,
+                       unfold_cutoff)
     return jnp.tanh(x)[:, 0, :]

@@ -54,6 +54,40 @@ def conv1d(params: dict, x: Array, stride: int = 1, padding=0,
     return y
 
 
+def conv1d_unfold(params: dict, x: Array, padding=0, dilation: int = 1,
+                  compute_dtype=None) -> Array:
+    """Stride-1 dilated conv lowered as explicit unfold + ONE GEMM.
+
+    (C_out, C_in*k) @ (C_in*k, T) keeps T on the 128-lane minor axis. On the
+    narrow-channel BigVGAN tail stages (C <= 192) the stock lax.conv lowering
+    starves the MXU (C_in is the contraction axis, padded to 128 lanes per
+    tap); this re-lowering measured 4-7x faster at batch 1 on v5e
+    (C24/T160k: 0.517 -> 0.069 ms per k=11 conv, rel err ~2e-7). Pure jnp,
+    so it is differentiable and backend-agnostic; numerically it is the same
+    MXU fp32-accumulated contraction as lax.conv.
+    """
+    w, b = params["w"], params.get("b")
+    c_out, c_in, k = w.shape
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    t_out = x.shape[-1] + padding[0] + padding[1] - (k - 1) * dilation
+    xp = jnp.pad(x, ((0, 0), (0, 0), padding))
+    # tap-major unfold: block j holds channels of tap j, matching the
+    # (o, k, c) -> (o, k*c) weight reshape below
+    cols = jnp.concatenate(
+        [lax.dynamic_slice_in_dim(xp, j * dilation, t_out, axis=2)
+         for j in range(k)], axis=1)                      # (B, k*C_in, T)
+    y = jnp.einsum("oc,bct->bot",
+                   w.transpose(0, 2, 1).reshape(c_out, k * c_in), cols,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, :, None]
+    return y
+
+
 def conv_transpose1d(params: dict, x: Array, stride: int, padding: int = 0,
                      groups: int = 1, compute_dtype=None) -> Array:
     """torch.nn.ConvTranspose1d semantics: out = (T-1)*stride - 2*pad + k.

@@ -80,6 +80,43 @@ def test_conv1d_parity():
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-4)
 
 
+def test_conv1d_unfold_parity():
+    """unfold-GEMM lowering == torch conv1d for the BigVGAN resblock shapes
+    (stride-1 dilated, symmetric pad) and the conv_post shape (C->1)."""
+    rng = np.random.RandomState(3)
+    for (cin, cout, k, d, t) in [(24, 24, 11, 5, 96), (48, 48, 7, 3, 64),
+                                 (96, 96, 3, 1, 50), (24, 1, 7, 1, 40)]:
+        pad = (k * d - d) // 2
+        x = rng.randn(2, cin, t).astype(np.float32)
+        w = rng.randn(cout, cin, k).astype(np.float32)
+        b = rng.randn(cout).astype(np.float32)
+        out = conv.conv1d_unfold({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                                 jnp.asarray(x), padding=pad, dilation=d)
+        ref = F.conv1d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                       padding=pad, dilation=d)
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bigvgan_unfold_routing_matches_default():
+    """Forcing MAA3_UNFOLD_CUTOFF through the full generator must reproduce
+    the stock lax.conv path (same weights, same mel)."""
+    import os
+    from maa3_tpu.models import bigvgan as bv
+    cfg = bv.BigVGANConfig(upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                           upsample_initial_channel=64)
+    p = bv.bigvgan_init(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.RandomState(4).randn(1, 80, 16).astype(np.float32))
+    base = bv.bigvgan_apply(p, cfg, mel, pallas_aa=False)
+    os.environ["MAA3_UNFOLD_CUTOFF"] = "64"
+    try:
+        routed = bv.bigvgan_apply(p, cfg, mel, pallas_aa=False)
+    finally:
+        del os.environ["MAA3_UNFOLD_CUTOFF"]
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_conv1d_strided_asym_pad_parity():
     """Downsample1D pattern: pad (0,1) then stride-2 conv (autoencoder1d)."""
     rng = np.random.RandomState(1)
