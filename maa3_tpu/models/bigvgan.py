@@ -16,6 +16,8 @@ TPU-native notes:
 from __future__ import annotations
 
 import dataclasses
+import math
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 
 from maa3_tpu.ops.conv import (conv1d, conv1d_init, conv1d_unfold,
                                 conv_transpose1d, conv_transpose1d_polyphase)
-from maa3_tpu.ops.resample import Activation1d
+from maa3_tpu.ops.resample import Activation1d, sin2_poly, use_fast_sin2
 
 Array = jax.Array
 
@@ -70,7 +72,14 @@ def snake(x: Array, alpha: Array, logscale: bool) -> Array:
     a = alpha.astype(jnp.float32)[None, :, None]
     if logscale:
         a = jnp.exp(a)
-    return (xf + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(xf * a))).astype(orig)
+    s2 = _sin2_poly(xf * a) if _use_fast_sin2(orig) else \
+        jnp.square(jnp.sin(xf * a))
+    return (xf + (1.0 / (a + 1e-9)) * s2).astype(orig)
+
+
+# Fast-path sin^2 shared with the Pallas AA kernels (see ops/resample.py).
+_sin2_poly = sin2_poly
+_use_fast_sin2 = use_fast_sin2
 
 
 def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool) -> Array:
@@ -82,7 +91,9 @@ def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool) -> Array:
     if logscale:
         a = jnp.exp(a)
         b = jnp.exp(b)
-    return (xf + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(xf * a))).astype(orig)
+    s2 = _sin2_poly(xf * a) if _use_fast_sin2(orig) else \
+        jnp.square(jnp.sin(xf * a))
+    return (xf + (1.0 / (b + 1e-9)) * s2).astype(orig)
 
 
 def _act_init(ch: int, cfg: BigVGANConfig) -> dict:

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from maa3_tpu.ops.resample import kaiser_sinc_filter1d
+from maa3_tpu.ops.resample import (kaiser_sinc_filter1d, sin2_poly,
+                                   use_fast_sin2)
 
 Array = jax.Array
 
@@ -73,7 +74,7 @@ def pick_tile(T: int, tile: int, max_bad_tail: int) -> int:
 
 
 def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
-            tile: int, n_rows: int, t_total: int):
+            tile: int, n_rows: int, t_total: int, fast_sin2: bool = False):
     """One (n_rows, tile) output block.
 
     a_ref/ib_ref: (n_rows, 1) fp32 — effective snake alpha and 1/(beta+eps).
@@ -114,8 +115,9 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
     # --- snake (fp32): v + sin^2(alpha v) / (beta + eps) -------------------
     a = a_ref[:, 0:1]
     ib = ib_ref[:, 0:1]
-    se[:] = up_e + ib * jnp.square(jnp.sin(a * up_e))
-    so[:] = up_o + ib * jnp.square(jnp.sin(a * up_o))
+    _s2 = sin2_poly if fast_sin2 else (lambda z: jnp.square(jnp.sin(z)))
+    se[:] = up_e + ib * _s2(a * up_e)
+    so[:] = up_o + ib * _s2(a * up_o)
 
     # --- replicate-clamp edge corrections (reference act.py semantics) -----
     # s-index n < 0 -> s[0] = s_even[0]; n > 2T-1 -> s[2T-1] = s_odd[T-1].
@@ -139,12 +141,28 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("logscale", "has_beta", "tile",
-                                             "n_rows", "interpret"))
 def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                    logscale: bool = True, has_beta: bool = True,
                    tile: int = 8192, n_rows: Optional[int] = None,
-                   interpret: Optional[bool] = None) -> Array:
+                   interpret: Optional[bool] = None,
+                   fast_sin2: Optional[bool] = None) -> Array:
+    # env/dtype-dependent routing resolved OUTSIDE the jit so flipping
+    # MAA3_FAST_SIN2 between calls hits a different static cache entry
+    if fast_sin2 is None:
+        fast_sin2 = use_fast_sin2(x.dtype)
+    return _aa_snake_fused(x, alpha, beta, logscale=logscale,
+                           has_beta=has_beta, tile=tile, n_rows=n_rows,
+                           interpret=interpret, fast_sin2=fast_sin2)
+
+
+@functools.partial(jax.jit, static_argnames=("logscale", "has_beta", "tile",
+                                             "n_rows", "interpret",
+                                             "fast_sin2"))
+def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
+                    logscale: bool = True, has_beta: bool = True,
+                    tile: int = 8192, n_rows: Optional[int] = None,
+                    interpret: Optional[bool] = None,
+                    fast_sin2: bool = False) -> Array:
     """Fused Activation1d(snake[_beta]) over (B, C, T); returns (B, C, T).
 
     Drop-in fast path for FusedActivation1d(snake_beta/snake) with the 2x /
@@ -176,8 +194,9 @@ def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
 
         def _snake_fp32(v):  # v: (B, C, t)
             vf = v.astype(jnp.float32)
-            out_ = vf + inv_b[None, :, None] * jnp.square(
-                jnp.sin(af[None, :, None] * vf))
+            u = af[None, :, None] * vf
+            s2 = sin2_poly(u) if fast_sin2 else jnp.square(jnp.sin(u))
+            out_ = vf + inv_b[None, :, None] * s2
             return out_.astype(v.dtype)
 
         return FusedActivation1d(_snake_fp32)(x)
@@ -192,7 +211,8 @@ def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
     hblk = tile // _HB
     last_blk = (T - 1) // _HB
 
-    kern = functools.partial(_kernel, tile=tile, n_rows=n_rows, t_total=T)
+    kern = functools.partial(_kernel, tile=tile, n_rows=n_rows, t_total=T,
+                             fast_sin2=fast_sin2)
     out = pl.pallas_call(
         kern,
         grid=(-(-rows // n_rows), n_tiles),

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from maa3_tpu.ops.pallas_aa_snake import (_F_UP, _F_DN,
                                           pick_tile, snake_coeffs)
+from maa3_tpu.ops.resample import sin2_poly, use_fast_sin2
 
 Array = jax.Array
 
@@ -44,7 +45,7 @@ _HB = 128  # halo block width (lane-aligned)
 
 def _kernel(a_ref, ib_ref, w_ref, b_ref, x_ref, lh_ref, rh_ref, out_ref,
             xin, se, so, col, *, tile: int, c_in: int, c_out: int, k: int,
-            dil: int, t_total: int, acc_dtype):
+            dil: int, t_total: int, acc_dtype, fast_sin2: bool = False):
     """One (c_out, tile) output block for batch element b, time tile i.
 
     a_ref/ib_ref: (c_in, 1) fp32 snake coefficients.
@@ -84,8 +85,9 @@ def _kernel(a_ref, ib_ref, w_ref, b_ref, x_ref, lh_ref, rh_ref, out_ref,
     up_o = sum(_F_UP[j] * xs((16 - j) // 2 - 3) for j in range(0, 12, 2))
     a = a_ref[:, 0:1]
     ib = ib_ref[:, 0:1]
-    se[:] = up_e + ib * jnp.square(jnp.sin(a * up_e))
-    so[:] = up_o + ib * jnp.square(jnp.sin(a * up_o))
+    _s2 = sin2_poly if fast_sin2 else (lambda z: jnp.square(jnp.sin(z)))
+    se[:] = up_e + ib * _s2(a * up_e)
+    so[:] = up_o + ib * _s2(a * up_o)
 
     # --- s-domain replicate clamp at the global edges ----------------------
     # (local act index m maps to global act output g = i*tile - E - 2 + m
@@ -138,12 +140,27 @@ def _kernel(a_ref, ib_ref, w_ref, b_ref, x_ref, lh_ref, rh_ref, out_ref,
     out_ref[0] = (out + b_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "k", "dilation", "logscale", "has_beta", "tile", "interpret"))
 def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
                      w: Array, b: Array, *, k: int, dilation: int = 1,
                      logscale: bool = True, has_beta: bool = True,
-                     tile: int = 8192, interpret: Optional[bool] = None) -> Array:
+                     tile: int = 8192, interpret: Optional[bool] = None,
+                     fast_sin2: Optional[bool] = None) -> Array:
+    # env/dtype routing resolved OUTSIDE the jit (see aa_snake_fused)
+    if fast_sin2 is None:
+        fast_sin2 = use_fast_sin2(x.dtype)
+    return _conv_snake_fused(x, alpha, beta, w, b, k=k, dilation=dilation,
+                             logscale=logscale, has_beta=has_beta, tile=tile,
+                             interpret=interpret, fast_sin2=fast_sin2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "dilation", "logscale", "has_beta", "tile", "interpret",
+    "fast_sin2"))
+def _conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
+                      w: Array, b: Array, *, k: int, dilation: int = 1,
+                      logscale: bool = True, has_beta: bool = True,
+                      tile: int = 8192, interpret: Optional[bool] = None,
+                      fast_sin2: bool = False) -> Array:
     """Fused Conv1d(Activation1d(snake[_beta])(x)) over (B, C, T).
 
     w: (C_out, C_in, k) torch-layout conv weight; b: (C_out,).
@@ -174,7 +191,8 @@ def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
     last_blk = (T - 1) // _HB
 
     kern = functools.partial(_kernel, tile=tile, c_in=C, c_out=c_out, k=k,
-                             dil=dilation, t_total=T, acc_dtype=acc_dtype)
+                             dil=dilation, t_total=T, acc_dtype=acc_dtype,
+                             fast_sin2=fast_sin2)
     W_ = tile + 2 * E
     out = pl.pallas_call(
         kern,

@@ -25,6 +25,41 @@ from maa3_tpu.ops.conv import pad_1d, _DN
 Array = jax.Array
 
 
+# cos(pi*s) on s in [-1, 1] as an even minimax (Chebyshev-fit) polynomial in
+# s^2; fp64 fit, max abs err 4.0e-10 (scripts/probe_fast_sin.py).
+_COS_PI_COEF = (0.9999999999193592, -4.934802189554387, 4.058711882136316,
+                -1.3352607094461064, 0.23532212896929544,
+                -0.02578785465436363, 0.0019059119561826655,
+                -8.916972979202109e-05)
+
+
+def sin2_poly(u: Array) -> Array:
+    """sin^2(u) via (1 - cos(2u))/2 with round-based mod-2pi range reduction
+    and the even cos polynomial — abs err ~1e-7*(1+|u|) vs fp64, ~3.6x faster
+    than XLA's libm-grade sin on the VPU, a pure elementwise chain that XLA
+    fuses into the AA shift-add FIRs (and that Mosaic lowers inside Pallas
+    kernels). Differentiable: round is piecewise-constant, so the range
+    reduction is identity-slope a.e."""
+    v = u * jnp.float32(1.0 / math.pi)
+    t = v - jnp.round(v)                      # cos(2u) = cos(pi * 2t)
+    w = (2.0 * t) * (2.0 * t)
+    c = jnp.float32(_COS_PI_COEF[-1])
+    for k in range(len(_COS_PI_COEF) - 2, -1, -1):
+        c = c * w + jnp.float32(_COS_PI_COEF[k])
+    return 0.5 * (1.0 - c)
+
+
+def use_fast_sin2(orig_dtype) -> bool:
+    """Poly sin^2 applies to reduced-precision compute (bf16/fp16) where its
+    ~1e-6 error is ~1000x below the bf16 noise floor; fp32 parity mode keeps
+    the exact libm sin. MAA3_FAST_SIN2=0/1 overrides."""
+    import os
+    env = os.environ.get("MAA3_FAST_SIN2")
+    if env is not None:
+        return env not in ("0", "false")
+    return orig_dtype in (jnp.bfloat16, jnp.float16)
+
+
 def kaiser_sinc_filter1d(cutoff: float, half_width: float,
                          kernel_size: int) -> np.ndarray:
     """Kaiser-windowed sinc low-pass filter, shape (kernel_size,), sum=1.
