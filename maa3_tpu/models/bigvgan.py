@@ -65,15 +65,21 @@ class BigVGANConfig:
 # Snake activations (vocoder/bigvgan/activations.py:9-119)
 # ---------------------------------------------------------------------------
 
-def snake(x: Array, alpha: Array, logscale: bool) -> Array:
-    """snake(x) = x + sin^2(a x)/a, per-channel alpha over (B, C, T). fp32."""
+def snake(x: Array, alpha: Array, logscale: bool,
+          fast: "bool | None" = None) -> Array:
+    """snake(x) = x + sin^2(a x)/a, per-channel alpha over (B, C, T). fp32.
+
+    fast=None keys the poly-sin^2 routing on x.dtype; inside the AA pipeline
+    the FIR taps promote x to fp32 before snake sees it, so bigvgan_apply
+    resolves the flag ONCE from its compute_dtype and threads it here."""
     orig = x.dtype
     xf = x.astype(jnp.float32)
     a = alpha.astype(jnp.float32)[None, :, None]
     if logscale:
         a = jnp.exp(a)
-    s2 = _sin2_poly(xf * a) if _use_fast_sin2(orig) else \
-        jnp.square(jnp.sin(xf * a))
+    if fast is None:
+        fast = _use_fast_sin2(orig)
+    s2 = _sin2_poly(xf * a) if fast else jnp.square(jnp.sin(xf * a))
     return (xf + (1.0 / (a + 1e-9)) * s2).astype(orig)
 
 
@@ -82,8 +88,9 @@ _sin2_poly = sin2_poly
 _use_fast_sin2 = use_fast_sin2
 
 
-def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool) -> Array:
-    """snakebeta(x) = x + sin^2(a x)/b."""
+def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool,
+               fast: "bool | None" = None) -> Array:
+    """snakebeta(x) = x + sin^2(a x)/b. See snake() for the fast flag."""
     orig = x.dtype
     xf = x.astype(jnp.float32)
     a = alpha.astype(jnp.float32)[None, :, None]
@@ -91,8 +98,9 @@ def snake_beta(x: Array, alpha: Array, beta: Array, logscale: bool) -> Array:
     if logscale:
         a = jnp.exp(a)
         b = jnp.exp(b)
-    s2 = _sin2_poly(xf * a) if _use_fast_sin2(orig) else \
-        jnp.square(jnp.sin(xf * a))
+    if fast is None:
+        fast = _use_fast_sin2(orig)
+    s2 = _sin2_poly(xf * a) if fast else jnp.square(jnp.sin(xf * a))
     return (xf + (1.0 / (b + 1e-9)) * s2).astype(orig)
 
 
@@ -106,7 +114,8 @@ def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
     return {"alpha": init((ch,), jnp.float32), "beta": init((ch,), jnp.float32)}
 
 
-def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False):
+def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False,
+             compute_dtype=None):
     """Anti-aliased activation closure over params.
 
     Two formulations, numerically equivalent to the reference conv pipeline:
@@ -120,6 +129,11 @@ def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False):
     anti-aliasing) — the AudioLDM-variant vocoder family
     (ldm/models/diffusion/audioldm.py HiFiGAN path)."""
     from maa3_tpu.ops.resample import FusedActivation1d
+    # resolve the poly-sin^2 routing from the GENERATOR compute dtype: the
+    # AA FIR taps promote the upsampled signal to fp32, so dtype-sniffing
+    # inside snake()/snake_beta() would never fire (bench regression: the
+    # full generator silently ran libm sin, 42 vs 27.6 ms)
+    fast = use_fast_sin2(compute_dtype) if compute_dtype is not None else None
     if cfg.activation == "lrelu":
         def act(p):
             return lambda x: jnp.where(x >= 0, x, 0.1 * x)
@@ -128,22 +142,25 @@ def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False):
             from maa3_tpu.ops.pallas_aa_snake import aa_snake_fused
             def act(p):
                 return lambda x: aa_snake_fused(
-                    x, p["alpha"], logscale=cfg.snake_logscale, has_beta=False)
+                    x, p["alpha"], logscale=cfg.snake_logscale,
+                    has_beta=False, fast_sin2=fast)
         else:
             def act(p):
                 return FusedActivation1d(
-                    lambda x: snake(x, p["alpha"], cfg.snake_logscale))
+                    lambda x: snake(x, p["alpha"], cfg.snake_logscale,
+                                    fast=fast))
     else:
         if use_pallas:
             from maa3_tpu.ops.pallas_aa_snake import aa_snake_fused
             def act(p):
                 return lambda x: aa_snake_fused(
                     x, p["alpha"], p["beta"], logscale=cfg.snake_logscale,
-                    has_beta=True)
+                    has_beta=True, fast_sin2=fast)
         else:
             def act(p):
                 return FusedActivation1d(
-                    lambda x: snake_beta(x, p["alpha"], p["beta"], cfg.snake_logscale))
+                    lambda x: snake_beta(x, p["alpha"], p["beta"],
+                                         cfg.snake_logscale, fast=fast))
     return act
 
 
@@ -220,7 +237,7 @@ def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
                 fused_cutoff: int = 0, unfold_cutoff: int = 0) -> Array:
     fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
-    aa = _make_aa(cfg, use_pallas)
+    aa = _make_aa(cfg, use_pallas, compute_dtype)
     # activations alternate [::2] / [1::2] (models.py:75)
     for i, d in enumerate(dilations):
         if fused:
@@ -251,7 +268,7 @@ def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
                 fused_cutoff: int = 0, unfold_cutoff: int = 0) -> Array:
     fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
-    aa = _make_aa(cfg, use_pallas)
+    aa = _make_aa(cfg, use_pallas, compute_dtype)
     for i, d in enumerate(dilations):
         if fused:
             xt = _fused_site(p["acts"][i], p["convs"][i],
@@ -315,7 +332,7 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
     unfold_cutoff = _resolve_unfold_cutoff()
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
-    aa = _make_aa(cfg, use_pallas)
+    aa = _make_aa(cfg, use_pallas, compute_dtype)
 
     x = conv1d(params["conv_pre"], mel, padding=3, compute_dtype=compute_dtype)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):

@@ -122,6 +122,31 @@ def test_fast_sin2_poly_matches_exact():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fast_sin2_engages_in_full_bf16_generator(monkeypatch):
+    """Regression: the AA FIR taps promote the signal to fp32 before snake
+    sees it, so dtype-sniffing inside snake_beta never fired in the full
+    generator — the flag must be resolved from bigvgan_apply's compute_dtype
+    (bench saw libm sin at 42 ms instead of the 27.6 ms poly path)."""
+    from maa3_tpu.models import bigvgan as bv
+    calls = {"n": 0}
+    real = bv._sin2_poly
+
+    def spy(u):
+        calls["n"] += 1
+        return real(u)
+
+    monkeypatch.setattr(bv, "_sin2_poly", spy)
+    cfg = bv.BigVGANConfig(upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                           upsample_initial_channel=32)
+    p = bv.bigvgan_init(jax.random.PRNGKey(0), cfg)
+    mel = jnp.zeros((1, 80, 16), jnp.float32)
+    bv.bigvgan_apply(p, cfg, mel, compute_dtype=jnp.bfloat16, pallas_aa=False)
+    assert calls["n"] > 0, "poly sin^2 not engaged in bf16 generator"
+    calls["n"] = 0
+    bv.bigvgan_apply(p, cfg, mel, compute_dtype=jnp.float32, pallas_aa=False)
+    assert calls["n"] == 0, "poly sin^2 must stay off in fp32 parity mode"
+
+
 def test_bigvgan_generator_shape():
     """Tiny config: wav length must be T * prod(upsample_rates)."""
     cfg = BigVGANConfig(num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
