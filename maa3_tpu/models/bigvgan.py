@@ -203,11 +203,19 @@ def _resolve_unfold_cutoff() -> int:
     return 192 if jax.default_backend() != "cpu" else 0
 
 
+# Unfold materializes a (B, k*C, T) im2col buffer; beyond ~256 MB the win
+# turns into an HBM/compile hazard (measured at b1 the buffer is <100 MB,
+# and at batch >= 4 the narrow stages ride the Pallas fused path anyway).
+_UNFOLD_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _conv_site(p: dict, x: Array, k: int, d: int, compute_dtype,
                unfold_cutoff: int) -> Array:
     """One stride-1 resblock conv, routed by channel width."""
     pad = _get_padding(k, d)
-    if x.shape[1] <= unfold_cutoff:
+    itemsize = jnp.dtype(compute_dtype or x.dtype).itemsize
+    cols_bytes = x.shape[0] * k * x.shape[1] * x.shape[2] * itemsize
+    if x.shape[1] <= unfold_cutoff and cols_bytes <= _UNFOLD_MAX_BYTES:
         return conv1d_unfold(p, x, padding=pad, dilation=d,
                              compute_dtype=compute_dtype)
     return conv1d(p, x, padding=pad, dilation=d, compute_dtype=compute_dtype)
