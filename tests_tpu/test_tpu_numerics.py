@@ -132,3 +132,43 @@ def test_int8_serving_close_to_bf16_on_tpu():
     assert np.isfinite(z8).all()
     assert float(np.abs(z8 - z16).mean()) / rms < 5e-2, (
         float(np.abs(z8 - z16).mean()), rms)
+
+
+def test_fast_sin2_on_tpu_matches_fp64():
+    """The poly sin^2 (bf16 serving default) evaluated by the real VPU vs a
+    fp64 numpy oracle, incl. large args where range reduction matters."""
+    from maa3_tpu.ops.resample import sin2_poly
+
+    u = np.concatenate([np.linspace(-50, 50, 20001),
+                        np.linspace(-0.01, 0.01, 501)]).astype(np.float32)
+    got = np.asarray(jax.jit(sin2_poly)(jnp.asarray(u)))
+    ref = np.sin(u.astype(np.float64)) ** 2
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fast_sin2_generator_within_bf16_noise_on_tpu():
+    """Full small BigVGAN in bf16: poly-sin vs exact-sin waveforms agree to
+    bf16-roundoff scale on the real chip (the serving-mode A/B)."""
+    from maa3_tpu.models.bigvgan import (BigVGANConfig, bigvgan_apply,
+                                         bigvgan_init)
+
+    cfg = BigVGANConfig(upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+                        upsample_initial_channel=32,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 2),))
+    params = bigvgan_init(jax.random.PRNGKey(3), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(4), (1, 80, 64), jnp.float32)
+
+    import os
+    outs = {}
+    for fast in ("1", "0"):
+        os.environ["MAA3_FAST_SIN2"] = fast
+        try:
+            f = jax.jit(lambda p, m: bigvgan_apply(p, cfg, m,
+                                                   compute_dtype=jnp.bfloat16,
+                                                   pallas_aa=False))
+            outs[fast] = np.asarray(f(params, mel), np.float32)
+        finally:
+            del os.environ["MAA3_FAST_SIN2"]
+    # tanh-bounded output in [-1, 1]: bf16 grid spacing ~0.004 there
+    np.testing.assert_allclose(outs["1"], outs["0"], atol=0.02)
