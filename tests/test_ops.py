@@ -117,6 +117,35 @@ def test_bigvgan_unfold_routing_matches_default():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv1d_unfold_gradients_match_conv1d():
+    """Vocoder-GAN training on TPU can route through the unfold lowering —
+    its autodiff grads must equal lax.conv's (w, b, and input grads)."""
+    rng = np.random.RandomState(7)
+    cin = cout = 8
+    k, d, t = 5, 2, 32
+    pad = (k * d - d) // 2
+    x = jnp.asarray(rng.randn(2, cin, t).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(cout, cin, k).astype(np.float32)),
+         "b": jnp.asarray(rng.randn(cout).astype(np.float32))}
+
+    def loss_unfold(p_, x_):
+        return jnp.sum(jnp.sin(conv.conv1d_unfold(p_, x_, padding=pad,
+                                                  dilation=d)))
+
+    def loss_conv(p_, x_):
+        return jnp.sum(jnp.sin(conv.conv1d(p_, x_, padding=pad, dilation=d)))
+
+    gu_p, gu_x = jax.grad(loss_unfold, argnums=(0, 1))(p, x)
+    gc_p, gc_x = jax.grad(loss_conv, argnums=(0, 1))(p, x)
+    # fp32 accumulation-order noise only (different contraction orders)
+    np.testing.assert_allclose(np.asarray(gu_x), np.asarray(gc_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gu_p["w"]), np.asarray(gc_p["w"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gu_p["b"]), np.asarray(gc_p["b"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv1d_strided_asym_pad_parity():
     """Downsample1D pattern: pad (0,1) then stride-2 conv (autoencoder1d)."""
     rng = np.random.RandomState(1)
