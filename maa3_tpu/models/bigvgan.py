@@ -16,7 +16,6 @@ TPU-native notes:
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import List, Sequence, Tuple
 
@@ -173,7 +172,6 @@ def _auto_pallas_aa(pallas_aa, batch: int) -> bool:
     latency at batch 8). Auto therefore keys on the (static) batch size and
     requires a TPU backend. The Pallas kernel is forward-only (no VJP);
     training passes False."""
-    import os
     if pallas_aa is not None:  # explicit caller choice wins (training MUST
         return bool(pallas_aa)  # be able to force the differentiable path)
     env = os.environ.get("MAA3_PALLAS_AA")
@@ -196,7 +194,6 @@ def _resolve_unfold_cutoff() -> int:
     MAA3_UNFOLD_CUTOFF overrides; default 192 on TPU (where the narrow-stage
     lax.conv lowering starves the MXU — see ops/conv.py::conv1d_unfold), 0 on
     CPU (keep the stock path; equivalence is unit-tested explicitly)."""
-    import os
     env = os.environ.get("MAA3_UNFOLD_CUTOFF")
     if env is not None:
         return int(env)
@@ -330,7 +327,6 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
     default 192) run the fused snake+im2col+MXU kernel (ops/pallas_amp); wide
     stages use the one-pass AA kernel (ops/pallas_aa_snake) at batch >= 4.
     """
-    import os
     use_pallas = _auto_pallas_aa(pallas_aa, mel.shape[0])
     # both Pallas paths lose at batch 1 (XLA's act-into-conv fusion plus
     # per-program overheads win on small data; measured on v5e) — one gate

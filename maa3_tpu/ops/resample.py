@@ -56,7 +56,10 @@ def use_fast_sin2(orig_dtype) -> bool:
     import os
     env = os.environ.get("MAA3_FAST_SIN2")
     if env is not None:
-        return env not in ("0", "false")
+        env = env.strip().lower()
+        if env in ("", "0", "false", "no", "off"):
+            return False
+        return True
     return orig_dtype in (jnp.bfloat16, jnp.float16)
 
 

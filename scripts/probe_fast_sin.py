@@ -31,6 +31,8 @@ from maa3_tpu.utils import enable_compile_cache
 if jax.default_backend() != "cpu":
     enable_compile_cache()
 
+from _probe_util import program_time
+from _probe_util import chained as _chained
 from maa3_tpu.ops.resample import FusedActivation1d
 
 ITERS = int(os.environ.get("MAA3_ITERS", "16"))
@@ -72,32 +74,6 @@ def make_act(mode, a, b):
     return act
 
 
-def program_time(fn, args, n=5):
-    def run_k(k):
-        out = None
-        for _ in range(k):
-            out = fn(*args)
-        return float(jnp.sum(out))
-
-    run_k(3)
-    t1s, t3s = [], []
-    for _ in range(n):
-        t0 = time.perf_counter(); run_k(1); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); run_k(3); t3s.append(time.perf_counter() - t0)
-    t1s.sort(); t3s.sort()
-    return max((t3s[len(t3s) // 2] - t1s[len(t1s) // 2]) / 2.0, 0.0)
-
-
-def chained(apply_fn):
-    @jax.jit
-    def run(a, b, x):
-        def body(c, _):
-            return apply_fn(a, b, c).astype(c.dtype), None
-        c, _ = jax.lax.scan(body, x, None, length=ITERS)
-        return c
-    return run
-
-
 def main():
     key = jax.random.PRNGKey(0)
     out = {"iters": ITERS}
@@ -114,7 +90,7 @@ def main():
                 return FusedActivation1d(make_act(mode, av, bv))(z)
             fns[mode] = aa
             row[f"{mode}_ms"] = round(
-                program_time(chained(aa), (a, b, x)) / ITERS * 1e3, 3)
+                program_time(_chained(aa, ITERS), (a, b, x)) / ITERS * 1e3, 3)
         e = np.asarray(fns["exact"](a, b, x), np.float32)
         p = np.asarray(fns["poly"](a, b, x), np.float32)
         row["poly_relerr"] = float(np.abs(p - e).max() / (np.abs(e).max() + 1e-9))

@@ -23,23 +23,8 @@ from maa3_tpu.utils import enable_compile_cache
 if jax.default_backend() != "cpu":
     enable_compile_cache()
 
+from _probe_util import slope_time
 from maa3_tpu.models.bigvgan import BigVGANConfig, bigvgan_apply, bigvgan_init
-
-
-def slope_time(fn, args, n=7):
-    def run_k(k):
-        out = None
-        for _ in range(k):
-            out = fn(*args)
-        return float(jnp.sum(out))
-
-    run_k(3)
-    t1s, t3s = [], []
-    for _ in range(n):
-        t0 = time.perf_counter(); run_k(1); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); run_k(3); t3s.append(time.perf_counter() - t0)
-    t1s.sort(); t3s.sort()
-    return max((t3s[len(t3s) // 2] - t1s[len(t1s) // 2]) / 2.0, 0.0)
 
 
 def main():

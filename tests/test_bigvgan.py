@@ -96,10 +96,9 @@ def test_snake_activations():
     np.testing.assert_allclose(np.asarray(out_b), ref_b, rtol=1e-4, atol=1e-5)
 
 
-def test_fast_sin2_poly_matches_exact():
+def test_fast_sin2_poly_matches_exact(monkeypatch):
     """Poly sin^2 (the bf16-serving fast path) vs libm, over a wide u range
     incl. large |u| where the mod-2pi range reduction matters."""
-    import os
     from maa3_tpu.models.bigvgan import _sin2_poly
     u = np.concatenate([np.linspace(-50, 50, 40001),
                         np.linspace(-0.01, 0.01, 1001)]).astype(np.float32)
@@ -112,12 +111,9 @@ def test_fast_sin2_poly_matches_exact():
     x = np.linspace(-3, 3, 64, dtype=np.float32).reshape(1, 4, 16)
     alpha = np.zeros(4, np.float32)
     beta = np.log(2.0) * np.ones(4, np.float32)
-    os.environ["MAA3_FAST_SIN2"] = "1"
-    try:
-        out = snake_beta(jnp.asarray(x), jnp.asarray(alpha),
-                         jnp.asarray(beta), logscale=True)
-    finally:
-        del os.environ["MAA3_FAST_SIN2"]
+    monkeypatch.setenv("MAA3_FAST_SIN2", "1")
+    out = snake_beta(jnp.asarray(x), jnp.asarray(alpha),
+                     jnp.asarray(beta), logscale=True)
     np.testing.assert_allclose(np.asarray(out), x + np.sin(x) ** 2 / 2.0,
                                rtol=1e-4, atol=1e-5)
 

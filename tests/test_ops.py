@@ -98,21 +98,17 @@ def test_conv1d_unfold_parity():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_bigvgan_unfold_routing_matches_default():
+def test_bigvgan_unfold_routing_matches_default(monkeypatch):
     """Forcing MAA3_UNFOLD_CUTOFF through the full generator must reproduce
     the stock lax.conv path (same weights, same mel)."""
-    import os
     from maa3_tpu.models import bigvgan as bv
     cfg = bv.BigVGANConfig(upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
                            upsample_initial_channel=64)
     p = bv.bigvgan_init(jax.random.PRNGKey(0), cfg)
     mel = jnp.asarray(np.random.RandomState(4).randn(1, 80, 16).astype(np.float32))
     base = bv.bigvgan_apply(p, cfg, mel, pallas_aa=False)
-    os.environ["MAA3_UNFOLD_CUTOFF"] = "64"
-    try:
-        routed = bv.bigvgan_apply(p, cfg, mel, pallas_aa=False)
-    finally:
-        del os.environ["MAA3_UNFOLD_CUTOFF"]
+    monkeypatch.setenv("MAA3_UNFOLD_CUTOFF", "64")
+    routed = bv.bigvgan_apply(p, cfg, mel, pallas_aa=False)
     np.testing.assert_allclose(np.asarray(routed), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
 

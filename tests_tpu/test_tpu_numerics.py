@@ -161,6 +161,7 @@ def test_fast_sin2_generator_within_bf16_noise_on_tpu():
 
     import os
     outs = {}
+    old = os.environ.get("MAA3_FAST_SIN2")
     for fast in ("1", "0"):
         os.environ["MAA3_FAST_SIN2"] = fast
         try:
@@ -169,6 +170,9 @@ def test_fast_sin2_generator_within_bf16_noise_on_tpu():
                                                    pallas_aa=False))
             outs[fast] = np.asarray(f(params, mel), np.float32)
         finally:
-            del os.environ["MAA3_FAST_SIN2"]
+            if old is None:
+                os.environ.pop("MAA3_FAST_SIN2", None)
+            else:
+                os.environ["MAA3_FAST_SIN2"] = old
     # tanh-bounded output in [-1, 1]: bf16 grid spacing ~0.004 there
     np.testing.assert_allclose(outs["1"], outs["0"], atol=0.02)
