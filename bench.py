@@ -35,6 +35,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from maa3_tpu.utils import enable_compile_cache
 
+
+def _tunnel_watchdog(timeout_s: float = 180.0) -> None:
+    """Probe backend init in a SUBPROCESS and complain loudly if it never
+    answers: a client killed mid-remote-compile can wedge the axon tunnel
+    for 1h+, and without this the bench dies as an unexplained rc=124 with
+    an empty log (BENCH_r01 post-mortem legibility). A subprocess (not a
+    thread) because PJRT client init holds the GIL, which would silence the
+    diagnostic. Non-blocking: the main process still does its own (possibly
+    hanging) init afterwards — this only guarantees the log says why."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, check=False)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] WATCHDOG: device backend unresponsive after "
+              f"{timeout_s:.0f}s — the axon tunnel is likely wedged "
+              "(stale server-side grant). The bench hangs until it "
+              "recovers; an rc=124 here is the tunnel, not the benchmark.",
+              file=sys.stderr, flush=True)
+    except Exception:
+        pass  # diagnostic only — never block the bench
+
+
+_tunnel_watchdog()
 if jax.default_backend() != "cpu":
     enable_compile_cache()
 
