@@ -261,6 +261,8 @@ def main():
             RESULT["fp32_highest_error"] = repr(e)[:200]
             emit("fp32_highest_mode_failed")
 
+    pipe8 = None  # set by stage 1c; reused by the int8 throughput stage
+
     # ---- stage 1c: int8 (w8a8) turbo serving mode ------------------------
     # Per-step DiT GEMMs quantized to int8 (ops/quant.py): measured ODE
     # 115.6 -> 93.6 ms and p50 0.220 -> 0.195 s on v5e, at ~2x the bf16
@@ -294,6 +296,7 @@ def main():
                     np.abs(mel8 - mel32).mean())
             emit("int8_mode")
         except Exception as e:
+            pipe8 = None
             RESULT["int8_error"] = repr(e)[:200]
             emit("int8_mode_failed")
 
@@ -329,6 +332,32 @@ def main():
             RESULT["throughput_error"] = repr(e)[:200]
             emit(f"throughput_b{bsz}_failed")
             break
+
+    # ---- stage 2b: int8 batched throughput --------------------------------
+    # int8 helps most where the MXU is the bottleneck; the b1 latency win
+    # (stage 1c) does not predict the batched win, so measure it at the best
+    # bf16 batch size directly.
+    if pipe8 is not None and best_b and remaining() > est_compile:
+        try:
+            ctx_b = jnp.broadcast_to(ctx, (best_b,) + ctx.shape[1:])
+            uc_b = jnp.zeros_like(ctx_b)
+
+            def run_b8(k):
+                return pipe8.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
+                                      guidance_scale=5.0, steps=STEPS)[2]
+
+            note(f"stage 2b: compiling int8 b{best_b} generate")
+            run_b8(jax.random.PRNGKey(99))  # compile + warmup
+            tb = median_time(run_b8, (jax.random.PRNGKey(200),), n=3)
+            RESULT.update({
+                "throughput_int8_secs_audio_per_sec_chip":
+                    round(best_b * 10.0 / tb, 1),
+                "throughput_int8_batch": best_b,
+            })
+            emit(f"throughput_int8_b{best_b}")
+        except Exception as e:
+            RESULT["throughput_int8_error"] = repr(e)[:200]
+            emit("throughput_int8_failed")
 
     # ---- stage 3: component breakdown (batch 1) --------------------------
     if remaining() > est_compile:
