@@ -36,32 +36,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from maa3_tpu.utils import enable_compile_cache
 
 
-def _tunnel_watchdog(timeout_s: float = 180.0) -> None:
-    """Probe backend init in a SUBPROCESS and complain loudly if it never
-    answers: a client killed mid-remote-compile can wedge the axon tunnel
-    for 1h+, and without this the bench dies as an unexplained rc=124 with
-    an empty log (BENCH_r01 post-mortem legibility). A subprocess (not a
-    thread) because PJRT client init holds the GIL, which would silence the
-    diagnostic. Non-blocking: the main process still does its own (possibly
-    hanging) init afterwards — this only guarantees the log says why."""
-    import subprocess
+def _tunnel_watchdog(timeout_s: float = 180.0):
+    """Log loudly if backend init never answers: a client killed
+    mid-remote-compile can wedge the axon tunnel for 1h+, and without this
+    the bench dies as an unexplained rc=124 with an empty log (BENCH_r01
+    post-mortem legibility).
 
+    Deliberately creates NO device claim of its own: an earlier version
+    probed `jax.devices()` in a subprocess and killed it on timeout — but a
+    claim killed in flight is itself what wedges the grant, so the watchdog
+    could renew the very wedge it was diagnosing. Instead a pure-stdlib
+    child (python -S: no sitecustomize, so no PJRT registration) sleeps and
+    prints the diagnostic unless the main process has touched a sentinel
+    file after its own (single, patient, never-killed) init. Returns the
+    arm-completion callback."""
+    import subprocess
+    import tempfile
+
+    sentinel = tempfile.mktemp(prefix="maa3_bench_init_")
+    code = (
+        "import os,sys,time; time.sleep(%f); "
+        "os.path.exists(%r) or sys.stderr.write("
+        "'[bench] WATCHDOG: device backend unresponsive after %.0fs -- "
+        "the axon tunnel is likely wedged (stale server-side grant). "
+        "The bench waits until it recovers; an rc=124 here is the tunnel, "
+        "not the benchmark.\\n')" % (timeout_s, sentinel, timeout_s))
     try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL, check=False)
-    except subprocess.TimeoutExpired:
-        print(f"[bench] WATCHDOG: device backend unresponsive after "
-              f"{timeout_s:.0f}s — the axon tunnel is likely wedged "
-              "(stale server-side grant). The bench hangs until it "
-              "recovers; an rc=124 here is the tunnel, not the benchmark.",
-              file=sys.stderr, flush=True)
+        subprocess.Popen([sys.executable, "-S", "-c", code],
+                         stdout=subprocess.DEVNULL)  # stderr shared
     except Exception:
         pass  # diagnostic only — never block the bench
 
+    def init_done():
+        try:
+            open(sentinel, "w").close()
+        except Exception:
+            pass
 
-_tunnel_watchdog()
+    return init_done
+
+
+_watchdog_done = _tunnel_watchdog()
+jax.devices()  # the single patient backend init (hangs if wedged, no kill)
+_watchdog_done()
 if jax.default_backend() != "cpu":
     enable_compile_cache()
 
