@@ -76,8 +76,30 @@ def _tunnel_watchdog(timeout_s: float = 180.0):
     return init_done
 
 
+def _patient_init(budget_s: float) -> None:
+    """Single patient backend init. Hangs while a wedge lasts (never killed
+    from here — a killed claim renews the wedge) and RETRIES on explicit
+    init errors: a server-side outage answers claims with `UNAVAILABLE: TPU
+    backend setup/compile error` after ~25 min, and a one-shot init would
+    turn a transient outage into a lost benchmark round."""
+    t0 = time.perf_counter()
+    while True:
+        try:
+            jax.devices()
+            return
+        except Exception as e:
+            waited = time.perf_counter() - t0
+            if waited > budget_s:
+                raise
+            print(f"[bench] backend init failed after {waited:.0f}s "
+                  f"({repr(e)[:120]}) — retrying (outage?)",
+                  file=sys.stderr, flush=True)
+            time.sleep(60.0)
+
+
 _watchdog_done = _tunnel_watchdog()
-jax.devices()  # the single patient backend init (hangs if wedged, no kill)
+_patient_init(budget_s=float(
+    os.environ.get("MAA3_BENCH_BUDGET_S", "3000")) * 0.75)
 _watchdog_done()
 if jax.default_backend() != "cpu":
     enable_compile_cache()
