@@ -64,3 +64,22 @@ def test_e2e_mel_parity(artifact):
     the XL-scale analogue of the BASELINE mel gate (fp32 mode)."""
     s = artifact["e2e_mel_vs_ref"]
     assert s["rel_mae"] < 1e-2, s
+
+
+def test_family_sweep_parity():
+    """Every released DiT family at its real config shape vs the executed
+    reference (scripts/family_reference_parity.py): M (= music), XXL, and
+    the real 4-expert video MoE."""
+    path = os.path.join(REPO, "PARITY_FAMILIES_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_FAMILIES_REF.json not generated — "
+                    "run scripts/family_reference_parity.py")
+    with open(path) as f:
+        fam = json.load(f)
+    assert fam["M"]["cfg"]["hidden_size"] == 768
+    assert fam["XXL"]["cfg"]["hidden_size"] == 1536
+    assert fam["XXL"]["cfg"]["depth"] == 32
+    assert fam["V2A_MoE"]["cfg"]["num_experts"] == 4
+    for name in ("M", "XXL", "V2A_MoE"):
+        assert fam[name]["rel_mae"] < 1e-4, (name, fam[name])
+        assert fam[name]["rel_max"] < 1e-3, (name, fam[name])
