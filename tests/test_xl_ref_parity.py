@@ -83,3 +83,21 @@ def test_family_sweep_parity():
     for name in ("M", "XXL", "V2A_MoE"):
         assert fam[name]["rel_mae"] < 1e-4, (name, fam[name])
         assert fam[name]["rel_max"] < 1e-3, (name, fam[name])
+
+
+def test_training_gradient_parity():
+    """CFM-loss gradients vs torch autograd over the executed reference at
+    M scale (scripts/grad_reference_parity.py): the backward pass through
+    every op (RoPE, gated cross-attn, adaLN, SwiGLU, scan-stacked blocks)
+    anchored to the reference."""
+    path = os.path.join(REPO, "PARITY_GRAD_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_GRAD_REF.json not generated — "
+                    "run scripts/grad_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["_meta"]["hidden_size"] == 768 and r["_meta"]["depth"] == 16
+    assert r["loss_rel_diff"] < 1e-5, r["loss_rel_diff"]
+    assert r["global_cosine"] > 1 - 1e-8, r["global_cosine"]
+    assert abs(r["global_norm_ratio"] - 1) < 1e-4, r["global_norm_ratio"]
+    assert r["worst_leaf_rel_mae"] < 1e-4, r["worst5"]
