@@ -101,3 +101,19 @@ def test_training_gradient_parity():
     assert r["global_cosine"] > 1 - 1e-8, r["global_cosine"]
     assert abs(r["global_norm_ratio"] - 1) < 1e-4, r["global_norm_ratio"]
     assert r["worst_leaf_rel_mae"] < 1e-4, r["worst5"]
+
+
+def test_encoder_real_shape_parity():
+    """Conditioning tower at real configs vs executed HF torch classes +
+    the reference Projection head (scripts/encoder_reference_parity.py)."""
+    path = os.path.join(REPO, "PARITY_ENC_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_ENC_REF.json not generated — "
+                    "run scripts/encoder_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["bert_base"]["params_m"] > 100       # real bert-base
+    assert r["t5_v1_1_large"]["params_m"] > 300   # real t5-v1.1-large encoder
+    for k in ("bert_base", "t5_v1_1_large", "clap_projection"):
+        assert r[k]["rel_mae"] < 1e-4, (k, r[k])
+        assert r[k]["rel_max"] < 1e-3, (k, r[k])
