@@ -118,11 +118,11 @@ def cnn14_logmel(wav: Array, cfg: Cnn14Config) -> Array:
     return logmel[:, None, :, :]  # (B, 1, T, mel)
 
 
-def cnn14_apply(params: dict, cfg: Cnn14Config, wav: Array) -> dict:
-    """wav (B, L) -> {"embedding": (B, out_emb), "clipwise_output": (B, classes)}."""
-    x = cnn14_logmel(wav, cfg)
+def cnn14_apply_logmel(params: dict, cfg: Cnn14Config, logmel: Array) -> dict:
+    """Conv backbone from a precomputed logmel (B, 1, T, mel) —
+    wav_evaluation/models/audio.py:144-180 after the torchlibrosa frontend."""
     # bn0 normalizes the mel axis (transpose(1,3) dance in torch)
-    x = _bn(params["bn0"], x, axis=3)
+    x = _bn(params["bn0"], logmel, axis=3)
     pools = [(2, 2)] * 5 + [(1, 1)]
     for p, pool in zip(params["blocks"], pools):
         x = _conv_block(p, x, pool)
@@ -131,6 +131,11 @@ def cnn14_apply(params: dict, cfg: Cnn14Config, wav: Array) -> dict:
     x = jax.nn.relu(dense(params["fc1"], x))
     logits = dense(params["fc_audioset"], x)
     return {"embedding": x, "clipwise_output": jax.nn.sigmoid(logits)}
+
+
+def cnn14_apply(params: dict, cfg: Cnn14Config, wav: Array) -> dict:
+    """wav (B, L) -> {"embedding": (B, out_emb), "clipwise_output": (B, classes)}."""
+    return cnn14_apply_logmel(params, cfg, cnn14_logmel(wav, cfg))
 
 
 def cnn14_from_torch(sd: dict, cfg: Cnn14Config, prefix: str = "") -> dict:

@@ -117,3 +117,17 @@ def test_encoder_real_shape_parity():
     for k in ("bert_base", "t5_v1_1_large", "clap_projection"):
         assert r[k]["rel_mae"] < 1e-4, (k, r[k])
         assert r[k]["rel_max"] < 1e-3, (k, r[k])
+
+
+def test_eval_cnn14_parity():
+    """CLAP-score audio tower (PANNs Cnn14) at the real CLAP-2022 config vs
+    the executed reference backbone (scripts/eval_reference_parity.py)."""
+    path = os.path.join(REPO, "PARITY_EVAL_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_EVAL_REF.json not generated — "
+                    "run scripts/eval_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["_meta"]["params_m"] > 70  # real 80.8M Cnn14
+    assert r["embedding"]["rel_mae"] < 1e-4, r["embedding"]
+    assert r["clipwise_output"]["rel_mae"] < 1e-4, r["clipwise_output"]
