@@ -213,7 +213,8 @@ def resolution_disc_apply(p: dict, wav: Array, resolution):
     n_frames = 1 + (y.shape[-1] - n_fft) // hop
     starts = jnp.arange(n_frames) * hop
     frames = y[:, starts[:, None] + jnp.arange(n_fft)[None, :]]
-    cos_b, sin_b = _stft_constants(n_fft, win)
+    # torch.stft is called with NO window here (models.py:325) -> rectangular
+    cos_b, sin_b = _stft_constants(n_fft, win, window="ones")
     re = frames @ jnp.asarray(cos_b)
     im = frames @ jnp.asarray(sin_b)
     mag = jnp.sqrt(re * re + im * im + 1e-9)          # (B, T, F)

@@ -92,10 +92,19 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
-def _stft_constants(n_fft: int, win_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Windowed real-DFT basis: (n_fft, n_bins) cos and -sin matrices."""
+def _stft_constants(n_fft: int, win_size: int,
+                    window: str = "hann") -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT basis: (n_fft, n_bins) cos and -sin matrices.
+
+    window="hann" is torch.stft's periodic Hann (the mel frontend);
+    window="ones" is torch.stft's window=None default (rectangular, padded
+    centered to n_fft when win_size < n_fft) — used by the BigVGAN MRD
+    spectrogram (vocoder/bigvgan/models.py:321-329 passes no window)."""
     n_bins = n_fft // 2 + 1
-    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / win_size)  # periodic hann
+    if window == "ones":
+        window = np.ones(win_size)
+    else:
+        window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / win_size)  # periodic hann
     if win_size < n_fft:
         pad = (n_fft - win_size) // 2
         window = np.pad(window, (pad, n_fft - win_size - pad))

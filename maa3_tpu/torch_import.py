@@ -325,6 +325,33 @@ def bigvgan_from_torch(sd: Dict[str, Array], cfg) -> dict:
     return jax.tree.map(jnp.asarray, p)
 
 
+def mpd_from_torch(sd: Dict[str, Array], n_discs: int = 5) -> dict:
+    """MultiPeriodDiscriminator weights (vocoder/bigvgan/models.py:255-277):
+    per-period DiscriminatorP = 5 weight-normed (k,1) Conv2d + conv_post."""
+    import jax
+    discs = []
+    for i in range(n_discs):
+        pre = f"discriminators.{i}."
+        discs.append({"convs": [_wn_conv(sd, pre + f"convs.{j}")
+                                for j in range(5)],
+                      "post": _wn_conv(sd, pre + "conv_post")})
+    return jax.tree.map(jnp.asarray, {"discs": discs})
+
+
+def mrd_from_torch(sd: Dict[str, Array], n_discs: int = 3) -> dict:
+    """MultiResolutionDiscriminator weights (models.py:281-357): per-
+    resolution DiscriminatorR = 5 weight-normed Conv2d + conv_post (the STFT
+    frontend is parameter-free)."""
+    import jax
+    discs = []
+    for i in range(n_discs):
+        pre = f"discriminators.{i}."
+        discs.append({"convs": [_wn_conv(sd, pre + f"convs.{j}")
+                                for j in range(5)],
+                      "post": _wn_conv(sd, pre + "conv_post")})
+    return jax.tree.map(jnp.asarray, {"discs": discs})
+
+
 # ---------------------------------------------------------------------------
 # Cond stage (FrozenCLAPFLANEmbedder)
 # ---------------------------------------------------------------------------

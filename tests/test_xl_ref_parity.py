@@ -131,3 +131,19 @@ def test_eval_cnn14_parity():
     assert r["_meta"]["params_m"] > 70  # real 80.8M Cnn14
     assert r["embedding"]["rel_mae"] < 1e-4, r["embedding"]
     assert r["clipwise_output"]["rel_mae"] < 1e-4, r["clipwise_output"]
+
+
+def test_discriminator_parity():
+    """BigVGAN MPD/MRD at the real config vs the executed reference —
+    logits and every feature map (the GAN + feature-matching loss surface).
+    Guards the MRD rectangular-window STFT semantics (torch.stft with no
+    window, models.py:325) among other things."""
+    path = os.path.join(REPO, "PARITY_DISC_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_DISC_REF.json not generated — "
+                    "run scripts/disc_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["_meta"]["periods"] == [2, 3, 5, 7, 11]
+    for k in ("mpd_logits", "mpd_fmaps", "mrd_logits", "mrd_fmaps"):
+        assert r[k]["worst_rel_mae"] < 1e-4, (k, r[k])
