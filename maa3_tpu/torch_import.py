@@ -352,6 +352,35 @@ def mrd_from_torch(sd: Dict[str, Array], n_discs: int = 3) -> dict:
     return jax.tree.map(jnp.asarray, {"discs": discs})
 
 
+def lpaps_from_torch(sd: Dict[str, Array],
+                     conv_layers=(64, 64, "MP", 128, 128, "MP",
+                                  256, 256, 256, "MP", 512, 512, 512, "MP",
+                                  512, 512, 512)) -> dict:
+    """LPAPS weights (ldm/modules/losses_audio/lpaps.py:17-87): per-frequency
+    ScalingLayer buffers, the bn-less VGGishish16 conv stack re-namespaced by
+    torch slice (net.slice{1..5}.{global_feature_idx}), and the 5 NetLinLayer
+    1x1 convs (lin{k}.model.1.weight, no bias)."""
+    import jax
+    # global nn.Sequential feature indices of each conv (MP=1 slot, conv=2:
+    # Conv2d + ReLU) and the slice each index lives in (lpaps.py:96-107)
+    bounds = [(0, 4), (4, 9), (9, 16), (16, 23), (23, 30)]
+    feats, idx = [], 0
+    for v in conv_layers:
+        if v == "MP":
+            idx += 1
+            continue
+        s = next(i for i, (lo, hi) in enumerate(bounds) if lo <= idx < hi) + 1
+        pre = f"net.slice{s}.{idx}."
+        feats.append({"w": sd[pre + "weight"], "b": sd[pre + "bias"]})
+        idx += 2
+    return jax.tree.map(jnp.asarray, {
+        "scaling": {"shift": sd["scaling_layer.shift"].reshape(-1),
+                    "scale": sd["scaling_layer.scale"].reshape(-1)},
+        "features": feats,
+        "lins": [sd[f"lin{k}.model.1.weight"].reshape(-1) for k in range(5)],
+    })
+
+
 # ---------------------------------------------------------------------------
 # Cond stage (FrozenCLAPFLANEmbedder)
 # ---------------------------------------------------------------------------

@@ -133,6 +133,21 @@ def test_eval_cnn14_parity():
     assert r["clipwise_output"]["rel_mae"] < 1e-4, r["clipwise_output"]
 
 
+def test_lpaps_parity():
+    """LPAPS perceptual metric vs the executed reference class — the final
+    distance and all 5 VGG tap activations (scaling layer + bn-less
+    VGGishish16 + learned 1x1 lin weights)."""
+    path = os.path.join(REPO, "PARITY_LPAPS_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_LPAPS_REF.json not generated — "
+                    "run scripts/lpaps_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["distance"]["rel_mae"] < 1e-4, r["distance"]
+    for name, s in r["taps"].items():
+        assert s["rel_mae"] < 1e-4, (name, s)
+
+
 def test_discriminator_parity():
     """BigVGAN MPD/MRD at the real config vs the executed reference —
     logits and every feature map (the GAN + feature-matching loss surface).
