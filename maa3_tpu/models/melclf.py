@@ -65,8 +65,15 @@ def melclf_init(key: Array, cfg: MelClfConfig = MelClfConfig()) -> dict:
 
 
 def _bn_batch(p, x):
-    mean = jnp.mean(x, axis=(0, 2, 3), keepdims=True)
-    var = jnp.var(x, axis=(0, 2, 3), keepdims=True)
+    """BatchNorm2d: eval mode (running stats, present on imported trained
+    weights — torch_import.melclf_from_torch) or train mode (batch stats,
+    random-init training via train_melclf)."""
+    if "mean" in p:
+        mean = p["mean"][None, :, None, None]
+        var = p["var"][None, :, None, None]
+    else:
+        mean = jnp.mean(x, axis=(0, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(0, 2, 3), keepdims=True)
     xn = (x - mean) * lax.rsqrt(var + 1e-5)
     return xn * p["weight"][None, :, None, None] + p["bias"][None, :, None, None]
 

@@ -381,6 +381,37 @@ def lpaps_from_torch(sd: Dict[str, Array],
     })
 
 
+def melclf_from_torch(sd: Dict[str, Array], cfg=None) -> dict:
+    """VGGishish eval-classifier weights (losses_audio/vggishish/model.py:
+    7-54): the features Sequential (Conv2d [+BatchNorm2d] +ReLU per entry,
+    MaxPool2d per 'MP') and the 3-Linear classifier head. BN running stats
+    import as eval-mode constants (melclf._bn_batch)."""
+    import jax
+    from maa3_tpu.models.melclf import MelClfConfig
+    cfg = cfg or MelClfConfig()
+    feats, idx = [], 0
+    for v in cfg.conv_layers:
+        if v == "MP":
+            idx += 1
+            continue
+        layer = {"w": sd[f"features.{idx}.weight"],
+                 "b": sd[f"features.{idx}.bias"]}
+        idx += 2
+        if cfg.use_bn:
+            pre = f"features.{idx - 1}."
+            layer["bn"] = {"weight": sd[pre + "weight"],
+                           "bias": sd[pre + "bias"],
+                           "mean": sd[pre + "running_mean"],
+                           "var": sd[pre + "running_var"]}
+            idx += 1
+        feats.append(layer)
+    def _lin(i):
+        return {"w": sd[f"classifier.{i}.weight"].T,
+                "b": sd[f"classifier.{i}.bias"]}
+    return jax.tree.map(jnp.asarray, {
+        "features": feats, "fc1": _lin(0), "fc2": _lin(2), "fc3": _lin(4)})
+
+
 # ---------------------------------------------------------------------------
 # Cond stage (FrozenCLAPFLANEmbedder)
 # ---------------------------------------------------------------------------

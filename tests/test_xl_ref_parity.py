@@ -133,6 +133,21 @@ def test_eval_cnn14_parity():
     assert r["clipwise_output"]["rel_mae"] < 1e-4, r["clipwise_output"]
 
 
+def test_melclf_parity():
+    """VGGishish eval classifier (use_bn=True, eval-mode running stats) vs
+    the executed reference — logits and the 4096-d FD embedding."""
+    path = os.path.join(REPO, "PARITY_MELCLF_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_MELCLF_REF.json not generated — "
+                    "run scripts/melclf_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["_meta"]["use_bn"] is True
+    assert r["params_m"] > 100  # the real 137.6M VGGishish
+    assert r["logits"]["rel_mae"] < 1e-4, r["logits"]
+    assert r["embedding"]["rel_mae"] < 1e-4, r["embedding"]
+
+
 def test_lpaps_parity():
     """LPAPS perceptual metric vs the executed reference class — the final
     distance and all 5 VGG tap activations (scaling layer + bn-less
