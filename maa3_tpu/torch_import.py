@@ -381,6 +381,26 @@ def lpaps_from_torch(sd: Dict[str, Array],
     })
 
 
+def nlayer_disc_from_torch(sd: Dict[str, Array], n_layers: int = 3) -> dict:
+    """PatchGAN NLayerDiscriminator weights (ldm/modules/discriminator/
+    model.py:98-148): Conv+LReLU, then n_layers Conv+BN+LReLU groups
+    (bias-less convs; BN is train-mode so running stats are unused), then
+    the 1-channel logits conv. Keys are `main.{i}.*` (strip any
+    `discriminator.` prefix first)."""
+    import jax
+    layers = [{"conv": {"w": sd["main.0.weight"], "b": sd["main.0.bias"]},
+               "bn": None}]
+    idx = 2
+    for _ in range(n_layers):
+        layers.append({"conv": {"w": sd[f"main.{idx}.weight"]},
+                       "bn": {"weight": sd[f"main.{idx + 1}.weight"],
+                              "bias": sd[f"main.{idx + 1}.bias"]}})
+        idx += 3
+    layers.append({"conv": {"w": sd[f"main.{idx}.weight"],
+                            "b": sd[f"main.{idx}.bias"]}, "bn": None})
+    return jax.tree.map(jnp.asarray, {"layers": layers})
+
+
 def melclf_from_torch(sd: Dict[str, Array], cfg=None) -> dict:
     """VGGishish eval-classifier weights (losses_audio/vggishish/model.py:
     7-54): the features Sequential (Conv2d [+BatchNorm2d] +ReLU per entry,

@@ -59,6 +59,49 @@ def create_vae_gan_state(key: Array, vae_params: dict, vae_optimizer,
     )
 
 
+def ae_loss_terms(disc_params: dict, logvar: Array, mel: Array, rec: Array,
+                  moments: Array):
+    """Generator-pass loss pieces of LPAPSWithDiscriminator optimizer_idx==0
+    (contperceptual.py:75-104): per-sample-summed L1 NLL with learned logvar,
+    KL of the posterior, hinge-G loss through the patchGAN.
+    Returns (nll_loss, kl, g_loss, mean_rec_l1)."""
+    rec_l1 = jnp.abs(mel - rec)
+    nll = rec_l1 / jnp.exp(logvar) + logvar
+    nll_loss = jnp.sum(nll) / mel.shape[0]
+    kl = jnp.sum(gaussian_kl(moments)) / mel.shape[0]
+    logits_fake = nlayer_disc_apply(disc_params, rec[:, None])
+    g_loss = -jnp.mean(logits_fake)
+    return nll_loss, kl, g_loss, jnp.mean(rec_l1)
+
+
+def adaptive_d_weight(nll_of_w, g_of_w, w_last: Array,
+                      disc_weight: float) -> Array:
+    """calculate_adaptive_weight (contperceptual.py:61-72): ratio of grad
+    norms of the NLL and G losses w.r.t. the decoder's last-layer weight."""
+    nll_g = jax.grad(nll_of_w)(w_last)
+    g_g = jax.grad(g_of_w)(w_last)
+    d_weight = jnp.clip(
+        jnp.linalg.norm(nll_g.ravel()) / (jnp.linalg.norm(g_g.ravel()) + 1e-4),
+        0.0, 1e4) * disc_weight
+    return jax.lax.stop_gradient(d_weight)
+
+
+def disc_loss_terms(disc_params: dict, mel: Array, rec: Array, factor,
+                    r1_weight: float = 0.0):
+    """Discriminator-pass loss of optimizer_idx==1 (contperceptual.py:125-
+    150): adopt-weighted hinge loss + optional R1 gradient penalty on the
+    real inputs. Returns (d_loss, mean_logits_real, mean_logits_fake)."""
+    logits_real = nlayer_disc_apply(disc_params, mel[:, None])
+    logits_fake = nlayer_disc_apply(disc_params, rec[:, None])
+    d = factor * hinge_d_loss(logits_real, logits_fake)
+    if r1_weight > 0:
+        def real_sum(m):
+            return jnp.sum(nlayer_disc_apply(disc_params, m[:, None]))
+        r1 = jnp.mean(jnp.square(jax.grad(real_sum)(mel)))
+        d = d + r1_weight * r1
+    return d, jnp.mean(logits_real), jnp.mean(logits_fake)
+
+
 def make_vae_gan_steps(cfg: VAEConfig, vae_optimizer, disc_optimizer,
                        kl_weight: float = 1e-6, disc_weight: float = 0.5,
                        disc_factor: float = 1.0, disc_start: int = 50001,
@@ -75,13 +118,7 @@ def make_vae_gan_steps(cfg: VAEConfig, vae_optimizer, disc_optimizer,
         def losses(trainable):
             vae_params, logvar = trainable["vae"], trainable["logvar"]
             rec, moments = reconstruct(vae_params, mel, key)
-            rec_l1 = jnp.abs(mel - rec)
-            nll = rec_l1 / jnp.exp(logvar) + logvar
-            nll_loss = jnp.sum(nll) / mel.shape[0]
-            kl = jnp.sum(gaussian_kl(moments)) / mel.shape[0]
-            logits_fake = nlayer_disc_apply(state.disc_params, rec[:, None])
-            g_loss = -jnp.mean(logits_fake)
-            return nll_loss, kl, g_loss, jnp.mean(rec_l1)
+            return ae_loss_terms(state.disc_params, logvar, mel, rec, moments)
 
         trainable = {"vae": state.vae_params, "logvar": state.logvar}
 
@@ -95,12 +132,8 @@ def make_vae_gan_steps(cfg: VAEConfig, vae_optimizer, disc_optimizer,
             return losses(t)[2]
 
         w_last = trainable["vae"]["decoder"]["conv_out"]["w"]
-        nll_g = jax.grad(nll_of_last)(w_last)
-        g_g = jax.grad(g_of_last)(w_last)
-        d_weight = jnp.clip(
-            jnp.linalg.norm(nll_g.ravel()) / (jnp.linalg.norm(g_g.ravel()) + 1e-4),
-            0.0, 1e4) * disc_weight
-        d_weight = jax.lax.stop_gradient(d_weight)
+        d_weight = adaptive_d_weight(nll_of_last, g_of_last, w_last,
+                                     disc_weight)
         factor = adopt_weight(disc_factor, state.step, disc_start)
 
         def total_loss(t):
@@ -122,16 +155,9 @@ def make_vae_gan_steps(cfg: VAEConfig, vae_optimizer, disc_optimizer,
         factor = adopt_weight(disc_factor, state.step, disc_start)
 
         def loss_fn(disc_params):
-            logits_real = nlayer_disc_apply(disc_params, mel[:, None])
-            logits_fake = nlayer_disc_apply(disc_params, rec[:, None])
-            d = factor * hinge_d_loss(logits_real, logits_fake)
-            if r1_weight > 0:
-                def real_sum(m):
-                    return jnp.sum(nlayer_disc_apply(disc_params, m[:, None]))
-                r1 = jnp.mean(jnp.square(jax.grad(real_sum)(mel)))
-                d = d + r1_weight * r1
-            return d, {"logits_real": jnp.mean(logits_real),
-                       "logits_fake": jnp.mean(logits_fake)}
+            d, lr_mean, lf_mean = disc_loss_terms(disc_params, mel, rec,
+                                                  factor, r1_weight)
+            return d, {"logits_real": lr_mean, "logits_fake": lf_mean}
 
         (d_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.disc_params)

@@ -133,6 +133,22 @@ def test_eval_cnn14_parity():
     assert r["clipwise_output"]["rel_mae"] < 1e-4, r["clipwise_output"]
 
 
+def test_vaegan_loss_parity():
+    """Stage-1 VAE-GAN objective vs the executed LPAPSWithDiscriminator —
+    both optimizer passes, incl. the adaptive d_weight (autograd through the
+    patchGAN) and the R1 gradient penalty."""
+    path = os.path.join(REPO, "PARITY_VAEGAN_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_VAEGAN_REF.json not generated — "
+                    "run scripts/vaegan_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    for k, v in r.items():
+        if k == "_meta":
+            continue
+        assert v["rel_err"] < 1e-4, (k, v)
+
+
 def test_melclf_parity():
     """VGGishish eval classifier (use_bn=True, eval-mode running stats) vs
     the executed reference — logits and the 4096-d FD embedding."""
