@@ -8,6 +8,10 @@ Modes:
   --llm-cmd CMD  pipe the reference's few-shot prompt + caption to a local
                  command (e.g. a llama.cpp / vLLM CLI) and use its stdout —
                  the pluggable-endpoint hook without any hard dependency
+  --openai       live chat-completions endpoint (the reference's
+                 n2s_by_openai.py role): OPENAI_API_KEY / OPENAI_BASE_URL
+                 env (any OpenAI-compatible server), reference few-shot
+                 prompt, resumable per-row progress file + <name>_struct.tsv
 
 Usage: python scripts/structurize_captions.py --tsv_path in.tsv [--out out.tsv]
 """
@@ -20,8 +24,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from maa3_tpu.data.structurize import (PROMPT, heuristic_natural_to_struct,
-                                       natural_to_struct)
+from maa3_tpu.data.structurize import (PROMPT, OpenAIStructurizer,
+                                       heuristic_natural_to_struct,
+                                       natural_to_struct, structurize_tsv)
 
 
 def main():
@@ -31,7 +36,23 @@ def main():
     ap.add_argument("--llm-cmd", default="",
                     help="shell command reading the prompt on stdin and "
                          "writing the struct caption to stdout")
+    ap.add_argument("--openai", action="store_true",
+                    help="use a live OpenAI-compatible endpoint "
+                         "(resumable n2s_by_openai.py workflow)")
+    ap.add_argument("--model", default="gpt-3.5-turbo")
+    ap.add_argument("--base_url", default="",
+                    help="override OPENAI_BASE_URL")
+    ap.add_argument("--caption_column", default="ori_cap")
     opt = ap.parse_args()
+
+    if opt.openai:
+        client = OpenAIStructurizer(base_url=opt.base_url or None,
+                                    model=opt.model)
+        out = structurize_tsv(opt.tsv_path, client,
+                              out_dir=os.path.dirname(opt.out) or None,
+                              caption_column=opt.caption_column)
+        print(f"wrote {out}")
+        return
 
     llm = None
     if opt.llm_cmd:
