@@ -111,3 +111,40 @@ def shard_params(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict
         specs = dit_param_specs(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-3: parameter + optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+def add_fsdp_specs(params: dict, specs: dict, n_fsdp: int,
+                   axis: str = "data", min_size: int = 65536) -> dict:
+    """Augment tensor-parallel PartitionSpecs with fully-sharded-data-parallel
+    sharding over `axis` (normally the batch/'data' axis, ZeRO style).
+
+    Each large leaf gets ONE additional dim sharded over `axis`, so params,
+    AdamW moments and EMA shadows are stored 1/n_fsdp per chip; XLA
+    all-gathers weights where they are consumed and reduce-scatters the
+    gradients — purely from the annotations, no hand-written collectives
+    (the GSPMD equivalent of the reference's hypothetical FSDP/ZeRO config;
+    its DDP (main.py:611) replicates optimizer state on every rank, which is
+    why the 1.47B XXL + AdamW (~23 GB fp32) cannot train on 16 GB chips —
+    with this spec it fits at n_fsdp>=2).
+
+    Rule: pick the LARGEST yet-unsharded dim divisible by n_fsdp. Leaves
+    smaller than min_size (norms, gates, biases) stay as-is: gathering them
+    costs more latency than the bytes saved.
+    """
+    def upd(leaf, spec) -> P:
+        if leaf.size < min_size:
+            return spec
+        p = list(spec) + [None] * (leaf.ndim - len(spec))
+        cands = [d for d in range(leaf.ndim)
+                 if p[d] is None and leaf.shape[d] % n_fsdp == 0]
+        if not cands:
+            return spec
+        d = max(cands, key=lambda i: leaf.shape[i])
+        p[d] = axis
+        return P(*p)
+
+    return jax.tree.map(upd, params, specs)

@@ -55,7 +55,8 @@ class Trainer:
                  log_every: int = 50, ckpt_every: int = 2000,
                  ckpt_dir: str = "logs/ckpt", n_model: int = 1,
                  train_cond: Optional[bool] = None, accum_steps: int = 1,
-                 mu_dtype=None, fuse_gemms: bool = False):
+                 mu_dtype=None, fuse_gemms: bool = False, fsdp: bool = False,
+                 fsdp_min_size: int = 65536):
         """system: MAA3System (provides spec, params, tokenizers).
 
         accum_steps: gradient accumulation (the reference's
@@ -69,7 +70,11 @@ class Trainer:
         q/k/v shard boundaries and GSPMD inserts reshard collectives.
         Checkpoints saved by a fused trainer use the fused layout (opt_state
         moments are per-tensor); sync_system_params always hands the system
-        canonical unfused params."""
+        canonical unfused params.
+        fsdp: ZeRO-3 — shard DiT params, AdamW moments and EMA shadows over
+        the 'data' axis (1/n_data bytes per chip); XLA all-gathers weights at
+        use and reduce-scatters grads from the annotations. Composes with
+        n_model (TP) and accum_steps; no-op on a 1-wide data axis."""
         self.system = system
         self.spec: ModelSpec = system.spec
         self.batch_size = batch_size
@@ -111,9 +116,19 @@ class Trainer:
             trainable["cond"] = system.params["cond"]
         frozen = {"vae": system.params["vae"]}
 
-        # shard: DiT tensor-parallel specs; everything else replicated
+        # shard: DiT tensor-parallel specs; everything else replicated.
+        # fsdp=True additionally shards params (and hence, via eager optax
+        # init, the AdamW moments and EMA shadows) over the 'data' axis —
+        # ZeRO-3 from annotations alone. This is what lets the 1.47B XXL
+        # (fp32 params + AdamW ~23 GB replicated) train on 16 GB chips.
         from jax.sharding import NamedSharding
         dit_specs = dit_param_specs(trainable["dit"])
+        self.fsdp = fsdp and self.mesh.shape["data"] > 1
+        if self.fsdp:
+            from maa3_tpu.parallel.mesh import add_fsdp_specs
+            dit_specs = add_fsdp_specs(trainable["dit"], dit_specs,
+                                       self.mesh.shape["data"],
+                                       min_size=fsdp_min_size)
         trainable["dit"] = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             trainable["dit"], dit_specs)
@@ -132,10 +147,20 @@ class Trainer:
             dit_cfg = self.spec.dit
             apply_fn = (lambda p, x, t, c:
                         moe_dit_apply(p, dit_cfg, x, t, c))
-        self._train_step = jax.jit(make_train_step(
+        step_fn = make_train_step(
             self.spec.dit, self.spec.vae, self.optimizer,
             num_timesteps=self.spec.timesteps, ema_decay=ema_decay,
-            conditioner=conditioner, apply_fn=apply_fn))
+            conditioner=conditioner, apply_fn=apply_fn)
+        if self.fsdp:
+            # Pin the output state to the FSDP shardings: gradients then
+            # reduce-scatter back to 1/n_data shards instead of XLA choosing
+            # an all-reduce + replicated update (which would defeat ZeRO).
+            out_shards = jax.tree.map(
+                lambda x: x.sharding if isinstance(x.sharding, NamedSharding)
+                else replicated(self.mesh), self.state)
+            self._train_step = jax.jit(step_fn, out_shardings=(out_shards, None))
+        else:
+            self._train_step = jax.jit(step_fn)
         self._scale_by_std_done = not self.spec.scale_by_std
         self._metrics_path = os.path.join(self.ckpt_dir, "metrics.jsonl")
         self._tb = None

@@ -43,6 +43,11 @@ def parse_args():
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient accumulation (accumulate_grad_batches)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params/AdamW moments/EMA over the "
+                        "'data' mesh axis (1/n bytes per chip; XLA "
+                        "all-gathers weights and reduce-scatters grads). "
+                        "Required to fit the 1.47B XXL recipe on 16 GB chips.")
     p.add_argument("--fuse_gemms", action="store_true",
                    help="train on the fused wqkv/w13 layout (wider MXU "
                         "GEMMs; single-axis data-parallel only)")
@@ -135,7 +140,7 @@ def main():
                       use_ema=opt.use_ema, n_model=opt.n_model,
                       accum_steps=opt.accum_steps,
                       mu_dtype=_jnp.dtype(opt.mu_dtype),
-                      fuse_gemms=opt.fuse_gemms)
+                      fuse_gemms=opt.fuse_gemms, fsdp=opt.fsdp)
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 

@@ -157,6 +157,136 @@ def test_two_rank_train_step_matches_single_rank():
                                    rtol=5e-5, atol=5e-6)
 
 
+def test_add_fsdp_specs_dim_choice():
+    """FSDP augmentation shards exactly one extra (largest, divisible,
+    un-sharded) dim over 'data' and leaves small leaves untouched."""
+    from jax.sharding import PartitionSpec as P
+    from maa3_tpu.parallel.mesh import add_fsdp_specs
+
+    params = {
+        "col": jnp.zeros((28, 1152, 3072)),     # (depth, in, out), out on model
+        "row": jnp.zeros((28, 3072, 1152)),     # (depth, in, out), in on model
+        "plain": jnp.zeros((28, 1152, 6912)),   # adaLN-style, replicated
+        "tiny": jnp.zeros((28, 64)),            # below min_size
+        "odd": jnp.zeros((7, 11, 13)),          # nothing divisible by 8
+    }
+    specs = {"col": P(None, None, "model"), "row": P(None, "model", None),
+             "plain": P(), "tiny": P(), "odd": P()}
+    out = add_fsdp_specs(params, specs, 8)
+    assert out["col"] == P(None, "data", "model")    # in-dim is the largest free
+    assert out["row"] == P(None, "model", "data")    # out-dim is the largest free
+    assert out["plain"] == P(None, None, "data")     # 6912 = largest dim
+    assert out["tiny"] == P()
+    assert out["odd"] == P()
+
+
+@requires_8
+def test_fsdp_train_step_matches_replicated():
+    """ZeRO-3 via annotations: params + AdamW moments + EMA shadows sharded
+    1/n over the mesh must store true 1/n shards per device AND reproduce
+    the replicated-DP train-step numerics exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from maa3_tpu.models.vae1d import VAEConfig, vae_init
+    from maa3_tpu.parallel.mesh import add_fsdp_specs, replicated
+    from maa3_tpu.train.optim import make_optimizer
+    from maa3_tpu.train.step import create_train_state, make_train_step
+
+    dit_cfg = DiTConfig(in_channels=4, context_dim=16, hidden_size=64,
+                        depth=2, num_heads=4, max_len=64)
+    vae_cfg = VAEConfig(in_channels=8, out_ch=8, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=5,
+                        z_channels=4, embed_dim=4)
+    key = jax.random.PRNGKey(0)
+    params = {"dit": dit_init(key, dit_cfg)}
+    frozen = {"vae": vae_init(key, vae_cfg)}
+    optimizer = make_optimizer()
+    step_fn = make_train_step(dit_cfg, vae_cfg, optimizer,
+                              compute_dtype=jnp.float32)
+    batch = {
+        "mel": jax.random.normal(key, (8, 8, 32), jnp.float32),
+        "context": jax.random.normal(key, (8, 5, 16), jnp.float32),
+    }
+    k = jax.random.PRNGKey(1)
+
+    # replicated single-device reference
+    state1 = create_train_state(params, frozen, optimizer, use_ema=True)
+    state1, m1 = jax.jit(step_fn)(state1, batch, k)
+
+    # FSDP over data=4 composed with TP over model=2 (tiny leaves, so lower
+    # min_size to exercise the path)
+    mesh = make_mesh(4, 2)
+    specs = add_fsdp_specs(params["dit"], dit_param_specs(params["dit"]),
+                           4, min_size=1024)
+    assert any("data" in tuple(s) for s in jax.tree.leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)))
+    sharded = {"dit": jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+        params["dit"], specs)}
+    state2 = create_train_state(sharded,
+                                jax.device_put(frozen, replicated(mesh)),
+                                optimizer, use_ema=True)
+
+    # storage really is 1/n: wq (depth, in, out) -> in/4 ('data'), out/2 ('model')
+    wq = state2.params["dit"]["blocks"]["attention"]["wq"]["w"]
+    assert wq.sharding.spec == P(None, "data", "model")
+    assert wq.addressable_shards[0].data.size == wq.size // 8
+    # the eagerly-initialized AdamW moments and EMA shadows inherit the shards
+    mu_wq = jax.tree.leaves(  # ScaleByAdamState.mu mirrors the param treedef
+        state2.opt_state, is_leaf=lambda x: isinstance(x, jax.Array))
+    assert any(getattr(x, "sharding", None) == wq.sharding
+               and x.shape == wq.shape for x in mu_wq)
+    assert (state2.ema_params["dit"]["blocks"]["attention"]["wq"]["w"]
+            .sharding.spec == P(None, "data", "model"))
+
+    out_shards = jax.tree.map(
+        lambda x: x.sharding if isinstance(x.sharding, NamedSharding)
+        else replicated(mesh), state2)
+    step2 = jax.jit(step_fn, out_shardings=(out_shards, None))
+    batch2 = {kk: jax.device_put(v, batch_sharding(mesh, v.ndim))
+              for kk, v in batch.items()}
+    with jax.set_mesh(mesh):
+        state2, m2 = step2(state2, batch2,
+                           jax.device_put(k, replicated(mesh)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+    for a, b in zip(jax.tree.leaves(state1.ema_params),
+                    jax.tree.leaves(state2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+    # updated params kept their 1/n layout (grads were reduce-scattered,
+    # not gathered into a replicated update)
+    wq2 = state2.params["dit"]["blocks"]["attention"]["wq"]["w"]
+    assert wq2.sharding.spec == P(None, "data", "model")
+    assert wq2.addressable_shards[0].data.size == wq2.size // 8
+
+
+@requires_8
+def test_trainer_fsdp_wiring():
+    """Trainer(fsdp=True) shards the DiT params over the data axis and a fit
+    step runs; fsdp=False keeps them replicated over 'data'."""
+    import tempfile
+    from tests.test_train import _tiny_system, _batches
+
+    with tempfile.TemporaryDirectory() as td:
+        system = _tiny_system(td)
+        from maa3_tpu.train.loop import Trainer
+        trainer = Trainer(system, batch_size=8, ckpt_dir=td, log_every=1,
+                          ckpt_every=0, warm_up_steps=1, lr_multiplier=1.0,
+                          fsdp=True, fsdp_min_size=512)
+        assert trainer.fsdp
+        sharded = [x for x in jax.tree.leaves(trainer.state.params["dit"])
+                   if "data" in tuple(getattr(x.sharding, "spec", ()))]
+        assert sharded, "no leaf picked up an fsdp shard"
+        metrics = trainer.fit(_batches(2, bs=8), max_steps=2)
+        assert np.isfinite(metrics["loss"])
+        wq = trainer.state.params["dit"]["blocks"]["attention"]["wq"]["w"]
+        assert "data" in tuple(wq.sharding.spec)
+
+
 @requires_8
 def test_tp_sharded_forward_matches_single_device():
     """DiT forward under a 4x2 (data x model) mesh must equal the
