@@ -56,7 +56,8 @@ class Trainer:
                  ckpt_dir: str = "logs/ckpt", n_model: int = 1,
                  train_cond: Optional[bool] = None, accum_steps: int = 1,
                  mu_dtype=None, fuse_gemms: bool = False, fsdp: bool = False,
-                 fsdp_min_size: int = 65536):
+                 fsdp_min_size: int = 65536, n_pipe: int = 1,
+                 n_micro: int = 1):
         """system: MAA3System (provides spec, params, tokenizers).
 
         accum_steps: gradient accumulation (the reference's
@@ -74,7 +75,11 @@ class Trainer:
         fsdp: ZeRO-3 — shard DiT params, AdamW moments and EMA shadows over
         the 'data' axis (1/n_data bytes per chip); XLA all-gathers weights at
         use and reduce-scatters grads from the annotations. Composes with
-        n_model (TP) and accum_steps; no-op on a 1-wide data axis."""
+        n_model (TP) and accum_steps; no-op on a 1-wide data axis.
+        n_pipe/n_micro: GPipe pipeline parallelism (parallel/pipeline.py) —
+        the DiT block stack is depth-sharded over a 'pipe' mesh axis and the
+        train step runs n_micro microbatches through the shard_map schedule;
+        composes with n_model (TP stays an automatic axis) and DP."""
         self.system = system
         self.spec: ModelSpec = system.spec
         self.batch_size = batch_size
@@ -86,8 +91,24 @@ class Trainer:
         self.accum_steps = max(1, accum_steps)
 
         n_dev = len(jax.devices())
-        n_model = n_model if n_dev % max(n_model, 1) == 0 else 1
-        self.mesh = make_mesh(n_dev // n_model, n_model)
+        self.n_pipe = max(1, n_pipe)
+        self.n_micro = max(1, n_micro)
+        if self.n_pipe > 1:
+            from maa3_tpu.parallel.pipeline import make_pipe_mesh
+            if fsdp:
+                raise ValueError("n_pipe>1 + fsdp unsupported: FSDP's 'data' "
+                                 "param shards conflict with the manual "
+                                 "'data' axis of the pipeline shard_map")
+            if fuse_gemms:
+                raise ValueError("n_pipe>1 requires the unfused GEMM layout")
+            if self.spec.backbone_kind == "video_moe_dit":
+                raise ValueError("pipeline parallelism covers the text DiT "
+                                 "backbone (the video MoE uses TP+DP)")
+            self.mesh = make_pipe_mesh(
+                n_dev // (self.n_pipe * n_model), self.n_pipe, n_model)
+        else:
+            n_model = n_model if n_dev % max(n_model, 1) == 0 else 1
+            self.mesh = make_mesh(n_dev // n_model, n_model)
 
         lr_mult = lr_multiplier if lr_multiplier is not None else (
             self.accum_steps * self.mesh.shape["data"] * batch_size)
@@ -123,6 +144,9 @@ class Trainer:
         # (fp32 params + AdamW ~23 GB replicated) train on 16 GB chips.
         from jax.sharding import NamedSharding
         dit_specs = dit_param_specs(trainable["dit"])
+        if self.n_pipe > 1:
+            from maa3_tpu.parallel.pipeline import add_pipe_specs
+            dit_specs = add_pipe_specs(dit_specs)
         self.fsdp = fsdp and self.mesh.shape["data"] > 1
         if self.fsdp:
             from maa3_tpu.parallel.mesh import add_fsdp_specs
@@ -147,6 +171,12 @@ class Trainer:
             dit_cfg = self.spec.dit
             apply_fn = (lambda p, x, t, c:
                         moe_dit_apply(p, dit_cfg, x, t, c))
+        elif self.n_pipe > 1:
+            from maa3_tpu.parallel.pipeline import dit_apply_pipelined
+            dit_cfg, mesh, n_micro = self.spec.dit, self.mesh, self.n_micro
+            apply_fn = (lambda p, x, t, c:
+                        dit_apply_pipelined(p, dit_cfg, x, t, c,
+                                            mesh=mesh, n_micro=n_micro))
         step_fn = make_train_step(
             self.spec.dit, self.spec.vae, self.optimizer,
             num_timesteps=self.spec.timesteps, ema_decay=ema_decay,

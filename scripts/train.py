@@ -43,6 +43,13 @@ def parse_args():
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient accumulation (accumulate_grad_batches)")
+    p.add_argument("--n_pipe", type=int, default=1,
+                   help="GPipe pipeline-parallel stages: shard the DiT "
+                        "block stack depth-wise over a 'pipe' mesh axis "
+                        "(parallel/pipeline.py); composes with --n_model")
+    p.add_argument("--n_micro", type=int, default=1,
+                   help="microbatches per pipeline step (fill/drain bubble "
+                        "fraction = (n_pipe-1)/(n_micro+n_pipe-1))")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params/AdamW moments/EMA over the "
                         "'data' mesh axis (1/n bytes per chip; XLA "
@@ -140,7 +147,8 @@ def main():
                       use_ema=opt.use_ema, n_model=opt.n_model,
                       accum_steps=opt.accum_steps,
                       mu_dtype=_jnp.dtype(opt.mu_dtype),
-                      fuse_gemms=opt.fuse_gemms, fsdp=opt.fsdp)
+                      fuse_gemms=opt.fuse_gemms, fsdp=opt.fsdp,
+                      n_pipe=opt.n_pipe, n_micro=opt.n_micro)
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 
