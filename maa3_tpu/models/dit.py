@@ -72,6 +72,13 @@ class DiTConfig:
     # only attention scores/probs + elementwise (flash-attention-style
     # policy: ~zero extra GEMM FLOPs, still drops the O(L^2) ephemerals)
     remat_policy: str = "nothing"
+    # Megatron-style sequence parallelism (TP training): constrain the
+    # residual stream between blocks to be sharded over the sequence axis on
+    # the 'model' mesh axis. GSPMD then turns each row-parallel (wo/w2)
+    # all-reduce into reduce-scatter + all-gather-at-next-GEMM — same comm
+    # bytes, but the inter-block activations (and their saved residuals
+    # under remat) are stored 1/n_model per chip. No-op off-mesh / at TP=1.
+    seq_parallel: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -202,9 +209,16 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
 
     y = context
 
+    if cfg.seq_parallel:
+        from jax.sharding import PartitionSpec as _P
+        seq_spec = _P(None, "model", None)
+        x = jax.lax.with_sharding_constraint(x, seq_spec)
+
     def body(h, block_params):
         h = _block_apply(block_params, cfg, h, cos, sin, y, adaln_input,
                          x_mask, context_mask, compute_dtype)
+        if cfg.seq_parallel:
+            h = jax.lax.with_sharding_constraint(h, seq_spec)
         return h, None
 
     if cfg.remat:

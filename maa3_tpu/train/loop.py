@@ -57,7 +57,7 @@ class Trainer:
                  train_cond: Optional[bool] = None, accum_steps: int = 1,
                  mu_dtype=None, fuse_gemms: bool = False, fsdp: bool = False,
                  fsdp_min_size: int = 65536, n_pipe: int = 1,
-                 n_micro: int = 1):
+                 n_micro: int = 1, seq_parallel: bool = False):
         """system: MAA3System (provides spec, params, tokenizers).
 
         accum_steps: gradient accumulation (the reference's
@@ -79,7 +79,11 @@ class Trainer:
         n_pipe/n_micro: GPipe pipeline parallelism (parallel/pipeline.py) —
         the DiT block stack is depth-sharded over a 'pipe' mesh axis and the
         train step runs n_micro microbatches through the shard_map schedule;
-        composes with n_model (TP stays an automatic axis) and DP."""
+        composes with n_model (TP stays an automatic axis) and DP.
+        seq_parallel: Megatron-style SP for TP training — the inter-block
+        residual stream is sharded over the sequence axis on 'model'
+        (DiTConfig.seq_parallel), storing activations 1/n_model per chip;
+        needs n_model>1 (silently a no-op otherwise)."""
         self.system = system
         self.spec: ModelSpec = system.spec
         self.batch_size = batch_size
@@ -109,6 +113,13 @@ class Trainer:
         else:
             n_model = n_model if n_dev % max(n_model, 1) == 0 else 1
             self.mesh = make_mesh(n_dev // n_model, n_model)
+
+        if (seq_parallel and self.mesh.shape["model"] > 1
+                and self.spec.backbone_kind == "text_dit"):
+            import dataclasses
+            self.spec = dataclasses.replace(
+                self.spec,
+                dit=dataclasses.replace(self.spec.dit, seq_parallel=True))
 
         lr_mult = lr_multiplier if lr_multiplier is not None else (
             self.accum_steps * self.mesh.shape["data"] * batch_size)

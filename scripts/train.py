@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--n_micro", type=int, default=1,
                    help="microbatches per pipeline step (fill/drain bubble "
                         "fraction = (n_pipe-1)/(n_micro+n_pipe-1))")
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="Megatron-style sequence parallelism: shard the "
+                        "inter-block residual over the sequence axis on "
+                        "'model' (activations 1/n per chip; requires "
+                        "--n_model > 1)")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params/AdamW moments/EMA over the "
                         "'data' mesh axis (1/n bytes per chip; XLA "
@@ -148,7 +153,8 @@ def main():
                       accum_steps=opt.accum_steps,
                       mu_dtype=_jnp.dtype(opt.mu_dtype),
                       fuse_gemms=opt.fuse_gemms, fsdp=opt.fsdp,
-                      n_pipe=opt.n_pipe, n_micro=opt.n_micro)
+                      n_pipe=opt.n_pipe, n_micro=opt.n_micro,
+                      seq_parallel=opt.seq_parallel)
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 
