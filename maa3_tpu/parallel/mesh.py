@@ -37,6 +37,23 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_moe_mesh(n_data: Optional[int] = None, n_model: int = 1,
+                  n_expert: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'model', 'expert') mesh for the video MoE backbone.
+
+    'expert' is innermost: the dense MoE formulation (models/dit_moe.py) has
+    NO all-to-all — the expert axis appears only as a batch dim of the expert
+    einsums plus one gather/concat at the slice boundaries, so its (small)
+    collectives belong on the fastest ICI hop, under the TP all-reduces."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // (n_model * n_expert)
+    assert n_data * n_model * n_expert == len(devices), (
+        f"mesh {n_data}x{n_model}x{n_expert} != {len(devices)} devices")
+    arr = np.array(devices).reshape(n_data, n_model, n_expert)
+    return Mesh(arr, ("data", "model", "expert"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -111,6 +128,45 @@ def shard_params(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict
         specs = dit_param_specs(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism: shard the stacked-expert axis of the video MoE
+# ---------------------------------------------------------------------------
+
+def add_ep_specs(params: dict, specs: dict, n_expert: int,
+                 axis: str = "expert") -> dict:
+    """Augment the video-MoE DiT PartitionSpecs with expert parallelism.
+
+    The dense MoE (models/dit_moe.py) stacks experts on axis 1 of every
+    expert weight — (depth, E, in, out) — so EP is pure data layout: shard
+    that axis over `axis`. Each chip then stores and computes 1/n_expert of
+    the expert FFN stacks; the expert dim is a batch dim of the freq-MoE
+    einsums (compute stays local) and the time-MoE per-sample gather plus
+    the output-slice concat are the only collectives — there is no
+    all-to-all dispatch anywhere (unlike the token-routing MoEs the usual
+    EP recipe is built for; the reference's loop over boolean masks,
+    flag_large_dit_moe.py:493-538, has no parallelism at all).
+
+    Composes with the TP specs from dit_param_specs (which shard the in/out
+    dims of the same leaves over 'model')."""
+    EXPERT_STACKS = ("time_experts", "freq_experts")
+
+    def upd(path: tuple, leaf, spec) -> P:
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        if not any(n in names for n in EXPERT_STACKS) or leaf.ndim < 3:
+            return spec
+        # (depth, E, ...) — expert axis right after the scan-stacked depth
+        if leaf.shape[1] % n_expert != 0:
+            raise ValueError(
+                f"add_ep_specs: expert axis {leaf.shape[1]} of "
+                f"{'/'.join(names)} not divisible by n_expert={n_expert}")
+        p = list(spec) + [None] * (leaf.ndim - len(spec))
+        assert p[1] is None, f"expert axis already sharded: {spec}"
+        p[1] = axis
+        return P(*p)
+
+    return jax.tree_util.tree_map_with_path(upd, params, specs)
 
 
 # ---------------------------------------------------------------------------

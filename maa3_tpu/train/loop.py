@@ -57,7 +57,8 @@ class Trainer:
                  train_cond: Optional[bool] = None, accum_steps: int = 1,
                  mu_dtype=None, fuse_gemms: bool = False, fsdp: bool = False,
                  fsdp_min_size: int = 65536, n_pipe: int = 1,
-                 n_micro: int = 1, seq_parallel: bool = False):
+                 n_micro: int = 1, seq_parallel: bool = False,
+                 n_expert: int = 1):
         """system: MAA3System (provides spec, params, tokenizers).
 
         accum_steps: gradient accumulation (the reference's
@@ -83,7 +84,11 @@ class Trainer:
         seq_parallel: Megatron-style SP for TP training — the inter-block
         residual stream is sharded over the sequence axis on 'model'
         (DiTConfig.seq_parallel), storing activations 1/n_model per chip;
-        needs n_model>1 (silently a no-op otherwise)."""
+        needs n_model>1 (silently a no-op otherwise).
+        n_expert: expert parallelism for the video MoE backbone — the
+        stacked-expert axis of the time/freq expert FFNs is sharded over an
+        'expert' mesh axis (mesh.py::add_ep_specs; dense MoE, so no
+        all-to-all). Composes with n_model (TP) and DP/FSDP."""
         self.system = system
         self.spec: ModelSpec = system.spec
         self.batch_size = batch_size
@@ -97,6 +102,14 @@ class Trainer:
         n_dev = len(jax.devices())
         self.n_pipe = max(1, n_pipe)
         self.n_micro = max(1, n_micro)
+        self.n_expert = max(1, n_expert)
+        if self.n_expert > 1:
+            if self.spec.backbone_kind != "video_moe_dit":
+                raise ValueError("n_expert>1 needs the video MoE backbone "
+                                 "(the text DiT has no expert axis)")
+            if self.n_pipe > 1 or fuse_gemms:
+                raise ValueError("n_expert>1 is incompatible with n_pipe>1 "
+                                 "and fuse_gemms")
         if self.n_pipe > 1:
             from maa3_tpu.parallel.pipeline import make_pipe_mesh
             if fsdp:
@@ -110,6 +123,10 @@ class Trainer:
                                  "backbone (the video MoE uses TP+DP)")
             self.mesh = make_pipe_mesh(
                 n_dev // (self.n_pipe * n_model), self.n_pipe, n_model)
+        elif self.n_expert > 1:
+            from maa3_tpu.parallel.mesh import make_moe_mesh
+            self.mesh = make_moe_mesh(
+                n_dev // (n_model * self.n_expert), n_model, self.n_expert)
         else:
             n_model = n_model if n_dev % max(n_model, 1) == 0 else 1
             self.mesh = make_mesh(n_dev // n_model, n_model)
@@ -158,6 +175,10 @@ class Trainer:
         if self.n_pipe > 1:
             from maa3_tpu.parallel.pipeline import add_pipe_specs
             dit_specs = add_pipe_specs(dit_specs)
+        if self.n_expert > 1:
+            from maa3_tpu.parallel.mesh import add_ep_specs
+            dit_specs = add_ep_specs(trainable["dit"], dit_specs,
+                                     self.n_expert)
         self.fsdp = fsdp and self.mesh.shape["data"] > 1
         if self.fsdp:
             from maa3_tpu.parallel.mesh import add_fsdp_specs
@@ -177,21 +198,25 @@ class Trainer:
                                         scale_factor=self.spec.scale_factor)
 
         conditioner = self._make_conditioner()
+        # train in the system's compute dtype (bf16 default; tests and
+        # debugging runs construct fp32 systems and train fp32)
+        cdt = getattr(system, "compute_dtype", jnp.bfloat16)
         apply_fn = None
         if self.spec.backbone_kind == "video_moe_dit":
             dit_cfg = self.spec.dit
             apply_fn = (lambda p, x, t, c:
-                        moe_dit_apply(p, dit_cfg, x, t, c))
+                        moe_dit_apply(p, dit_cfg, x, t, c, compute_dtype=cdt))
         elif self.n_pipe > 1:
             from maa3_tpu.parallel.pipeline import dit_apply_pipelined
             dit_cfg, mesh, n_micro = self.spec.dit, self.mesh, self.n_micro
             apply_fn = (lambda p, x, t, c:
                         dit_apply_pipelined(p, dit_cfg, x, t, c,
-                                            mesh=mesh, n_micro=n_micro))
+                                            mesh=mesh, n_micro=n_micro,
+                                            compute_dtype=cdt))
         step_fn = make_train_step(
             self.spec.dit, self.spec.vae, self.optimizer,
             num_timesteps=self.spec.timesteps, ema_decay=ema_decay,
-            conditioner=conditioner, apply_fn=apply_fn)
+            compute_dtype=cdt, conditioner=conditioner, apply_fn=apply_fn)
         if self.fsdp:
             # Pin the output state to the FSDP shardings: gradients then
             # reduce-scatter back to 1/n_data shards instead of XLA choosing
@@ -384,15 +409,17 @@ class Trainer:
         """Mean CFM val loss over up to max_batches (no grad, no update)."""
         if self._eval_step is None:
             conditioner = self._make_conditioner()
+            cdt = getattr(self.system, "compute_dtype", jnp.bfloat16)
             apply_fn = None
             if self.spec.backbone_kind == "video_moe_dit":
                 dit_cfg = self.spec.dit
                 apply_fn = (lambda p, x, t, c:
-                            moe_dit_apply(p, dit_cfg, x, t, c))
+                            moe_dit_apply(p, dit_cfg, x, t, c,
+                                          compute_dtype=cdt))
             from maa3_tpu.train.step import make_eval_step
             self._eval_step = jax.jit(make_eval_step(
                 self.spec.dit, self.spec.vae,
-                num_timesteps=self.spec.timesteps,
+                num_timesteps=self.spec.timesteps, compute_dtype=cdt,
                 conditioner=conditioner, apply_fn=apply_fn))
         key = jax.random.PRNGKey(seed)
         losses = []

@@ -55,6 +55,11 @@ def parse_args():
                         "inter-block residual over the sequence axis on "
                         "'model' (activations 1/n per chip; requires "
                         "--n_model > 1)")
+    p.add_argument("--n_expert", type=int, default=1,
+                   help="expert-parallel axis size for the video MoE: shard "
+                        "the stacked-expert FFN axis over an 'expert' mesh "
+                        "axis (mesh.py::add_ep_specs; dense MoE, no "
+                        "all-to-all); composes with --n_model")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params/AdamW moments/EMA over the "
                         "'data' mesh axis (1/n bytes per chip; XLA "
@@ -154,7 +159,7 @@ def main():
                       mu_dtype=_jnp.dtype(opt.mu_dtype),
                       fuse_gemms=opt.fuse_gemms, fsdp=opt.fsdp,
                       n_pipe=opt.n_pipe, n_micro=opt.n_micro,
-                      seq_parallel=opt.seq_parallel)
+                      seq_parallel=opt.seq_parallel, n_expert=opt.n_expert)
     if opt.resume:
         trainer.restore_checkpoint(opt.resume)
 

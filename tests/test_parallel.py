@@ -416,6 +416,156 @@ def test_seq_parallel_forward_and_grads_match():
         "SP constraint produced no sequence partitioning in the SPMD program"
 
 
+def test_add_ep_specs():
+    """EP augmentation shards exactly the stacked-expert axis (dim 1) of the
+    time/freq expert leaves over 'expert', leaves everything else alone, and
+    rejects a non-divisible expert count."""
+    from jax.sharding import PartitionSpec as P
+    from maa3_tpu.models.dit_moe import MoEDiTConfig, moe_dit_init
+    from maa3_tpu.parallel.mesh import add_ep_specs
+
+    cfg = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
+                       depth=2, num_heads=2, max_len=16, multiple_of=16,
+                       num_experts=4)
+    params = moe_dit_init(jax.random.PRNGKey(0), cfg)
+    specs = add_ep_specs(params, dit_param_specs(params), 2)
+    ff = specs["blocks"]["feed_forward"]
+    assert ff["time_experts"]["w1"]["w"] == P(None, "expert", None, "model")
+    assert ff["freq_experts"]["w2"]["w"] == P(None, "expert", "model", None)
+    assert specs["blocks"]["attention"]["wq"]["w"] == P(None, None, "model")
+    assert specs["proj_in"]["w"] == P()
+    with pytest.raises(ValueError, match="not divisible"):
+        add_ep_specs(params, dit_param_specs(params), 3)
+
+
+@requires_8
+def test_moe_ep_train_step_matches_replicated():
+    """Expert parallelism (data2 x model2 x expert2): the video-MoE train
+    step with the expert stacks sharded 1/2 over 'expert' (and 1/2 over
+    'model' in-dim/out-dim) must store true 1/4 shards per chip AND
+    reproduce the single-device numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from maa3_tpu.models.dit_moe import (MoEDiTConfig, moe_dit_init,
+                                         moe_dit_apply)
+    from maa3_tpu.models.vae1d import VAEConfig, vae_init
+    from maa3_tpu.parallel.mesh import add_ep_specs, make_moe_mesh, replicated
+    from maa3_tpu.train.optim import make_optimizer
+    from maa3_tpu.train.step import create_train_state, make_train_step
+
+    dit_cfg = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
+                           depth=2, num_heads=4, max_len=64, multiple_of=16,
+                           num_experts=4)
+    vae_cfg = VAEConfig(in_channels=8, out_ch=8, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=5,
+                        z_channels=4, embed_dim=4)
+    key = jax.random.PRNGKey(0)
+    params = {"dit": moe_dit_init(key, dit_cfg)}
+    frozen = {"vae": vae_init(key, vae_cfg)}
+    optimizer = make_optimizer()
+    step_fn = make_train_step(
+        dit_cfg, vae_cfg, optimizer, compute_dtype=jnp.float32,
+        apply_fn=lambda p, x, t, c: moe_dit_apply(
+            p, dit_cfg, x, t, c, compute_dtype=jnp.float32))
+    batch = {
+        "mel": jax.random.normal(key, (8, 8, 32), jnp.float32),
+        "context": jax.random.normal(key, (8, 5, 16), jnp.float32),
+    }
+    k = jax.random.PRNGKey(1)
+
+    state1 = create_train_state(params, frozen, optimizer)
+    state1, m1 = jax.jit(step_fn)(state1, batch, k)
+
+    mesh = make_moe_mesh(2, 2, 2)
+    specs = add_ep_specs(params["dit"], dit_param_specs(params["dit"]), 2)
+    sharded = {"dit": jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+        params["dit"], specs)}
+    state2 = create_train_state(sharded,
+                                jax.device_put(frozen, replicated(mesh)),
+                                optimizer)
+
+    # storage really is 1/4: (depth, E/2 'expert', d, h/2 'model')
+    w1 = state2.params["dit"]["blocks"]["feed_forward"]["time_experts"]["w1"]["w"]
+    assert w1.sharding.spec == P(None, "expert", None, "model")
+    assert w1.addressable_shards[0].data.size == w1.size // 4
+
+    out_shards = jax.tree.map(
+        lambda x: x.sharding if isinstance(x.sharding, NamedSharding)
+        else replicated(mesh), state2)
+    step2 = jax.jit(step_fn, out_shardings=(out_shards, None))
+    batch2 = {kk: jax.device_put(v, batch_sharding(mesh, v.ndim))
+              for kk, v in batch.items()}
+    with jax.set_mesh(mesh):
+        state2, m2 = step2(state2, batch2,
+                           jax.device_put(k, replicated(mesh)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+    # updates kept the expert-sharded layout
+    w1b = state2.params["dit"]["blocks"]["feed_forward"]["time_experts"]["w1"]["w"]
+    assert w1b.sharding.spec == P(None, "expert", None, "model")
+    assert w1b.addressable_shards[0].data.size == w1b.size // 4
+
+
+@requires_8
+def test_trainer_ep_wiring():
+    """Trainer(n_expert=2, n_model=2) builds the (data, model, expert) mesh,
+    shards the expert stacks, and a 2-step video-MoE fit runs finite; the
+    text backbone rejects n_expert>1."""
+    import tempfile
+
+    from maa3_tpu.config import ModelSpec
+    from maa3_tpu.models import clap as clap_mod
+    from maa3_tpu.models.dit_moe import MoEDiTConfig, moe_dit_init
+    from maa3_tpu.models.vae1d import VAEConfig, vae_init
+    from maa3_tpu.system import MAA3System
+    from maa3_tpu.train.loop import Trainer
+
+    dit_cfg = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
+                           depth=2, num_heads=4, max_len=64, multiple_of=16,
+                           num_experts=4)
+    vae_cfg = VAEConfig(in_channels=8, out_ch=8, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=5,
+                        z_channels=4, embed_dim=4)
+    spec = ModelSpec(kind="cfm", backbone_kind="video_moe_dit", dit=dit_cfg,
+                     vae=vae_cfg, cond_kind="video_feat", cond_params_cfg={},
+                     mel_dim=8, mel_length=32, scale_by_std=False,
+                     cond_stage_trainable=True, base_learning_rate=1e-3)
+    key = jax.random.PRNGKey(0)
+    params = {"dit": moe_dit_init(key, dit_cfg),
+              "vae": vae_init(key, vae_cfg),
+              "cond": clap_mod.video_feat_encoder_init(key, 12, 16)}
+    system = MAA3System(spec, params, compute_dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+
+    def batches(n, bs=8):
+        for _ in range(n):
+            yield {"image": rng.randn(bs, 8, 32).astype(np.float32),
+                   "video_feat": rng.randn(bs, 5, 12).astype(np.float32)}
+
+    with tempfile.TemporaryDirectory() as td:
+        trainer = Trainer(system, batch_size=8, ckpt_dir=td, log_every=1,
+                          ckpt_every=0, warm_up_steps=1, lr_multiplier=1.0,
+                          n_model=2, n_expert=2)
+        assert dict(trainer.mesh.shape) == {"data": 2, "model": 2,
+                                            "expert": 2}
+        w1 = trainer.state.params["dit"]["blocks"]["feed_forward"][
+            "time_experts"]["w1"]["w"]
+        assert "expert" in tuple(w1.sharding.spec)
+        metrics = trainer.fit(batches(2), max_steps=2)
+        assert np.isfinite(metrics["loss"])
+
+    from tests.test_train import _tiny_system
+    with tempfile.TemporaryDirectory() as td:
+        text_system = _tiny_system(td)
+        with pytest.raises(ValueError, match="video MoE backbone"):
+            Trainer(text_system, batch_size=8, ckpt_dir=td, n_expert=2)
+
+
 @requires_8
 def test_trainer_seq_parallel_wiring():
     """Trainer(seq_parallel=True, n_model=2) flips DiTConfig.seq_parallel and
