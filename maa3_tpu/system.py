@@ -256,8 +256,14 @@ class MAA3System:
                 if not tp and "wq" in p["blocks"]["attention"]:
                     p = fuse_dit_gemms(p)
             if self._serving_mesh is not None:
-                from maa3_tpu.parallel.mesh import shard_params
-                p = shard_params(p, self._serving_mesh)
+                from maa3_tpu.parallel.mesh import (add_ep_specs,
+                                                    dit_param_specs,
+                                                    shard_params)
+                specs = dit_param_specs(p)
+                n_exp = self._serving_mesh.shape.get("expert", 1)
+                if n_exp > 1:  # expert-parallel video-MoE serving
+                    specs = add_ep_specs(p, specs, n_exp)
+                p = shard_params(p, self._serving_mesh, specs)
             self._serving_dit = p
         return self._serving_dit
 
@@ -268,7 +274,9 @@ class MAA3System:
         per-step GEMM weights and their HBM reads split model-ways, cutting
         small-batch ODE latency; pass None to return to single-chip serving.
         Composes with set_serving_quant("int8") (per-tensor quantization in
-        the unfused layout)."""
+        the unfused layout). A mesh with an 'expert' axis (make_moe_mesh)
+        additionally shards the video MoE's stacked-expert FFNs 1/E per chip
+        (add_ep_specs — expert-parallel serving)."""
         self._serving_mesh = mesh
         self._serving_dit = None
 

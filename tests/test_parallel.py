@@ -510,19 +510,13 @@ def test_moe_ep_train_step_matches_replicated():
     assert w1b.addressable_shards[0].data.size == w1b.size // 4
 
 
-@requires_8
-def test_trainer_ep_wiring():
-    """Trainer(n_expert=2, n_model=2) builds the (data, model, expert) mesh,
-    shards the expert stacks, and a 2-step video-MoE fit runs finite; the
-    text backbone rejects n_expert>1."""
-    import tempfile
-
+def _tiny_video_system():
+    """Tiny video-MoE MAA3System (fp32, random init) for EP tests."""
     from maa3_tpu.config import ModelSpec
     from maa3_tpu.models import clap as clap_mod
     from maa3_tpu.models.dit_moe import MoEDiTConfig, moe_dit_init
     from maa3_tpu.models.vae1d import VAEConfig, vae_init
     from maa3_tpu.system import MAA3System
-    from maa3_tpu.train.loop import Trainer
 
     dit_cfg = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
                            depth=2, num_heads=4, max_len=64, multiple_of=16,
@@ -530,16 +524,28 @@ def test_trainer_ep_wiring():
     vae_cfg = VAEConfig(in_channels=8, out_ch=8, ch=32, ch_mult=(1, 2),
                         num_res_blocks=1, down_layers=(0,), kernel_size=5,
                         z_channels=4, embed_dim=4)
+    # mel_dim/mel_length are the LATENT sampling shape (z channels, z len)
     spec = ModelSpec(kind="cfm", backbone_kind="video_moe_dit", dit=dit_cfg,
                      vae=vae_cfg, cond_kind="video_feat", cond_params_cfg={},
-                     mel_dim=8, mel_length=32, scale_by_std=False,
+                     mel_dim=4, mel_length=16, scale_by_std=False,
                      cond_stage_trainable=True, base_learning_rate=1e-3)
     key = jax.random.PRNGKey(0)
     params = {"dit": moe_dit_init(key, dit_cfg),
               "vae": vae_init(key, vae_cfg),
               "cond": clap_mod.video_feat_encoder_init(key, 12, 16)}
-    system = MAA3System(spec, params, compute_dtype=jnp.float32)
+    return MAA3System(spec, params, compute_dtype=jnp.float32)
 
+
+@requires_8
+def test_trainer_ep_wiring():
+    """Trainer(n_expert=2, n_model=2) builds the (data, model, expert) mesh,
+    shards the expert stacks, and a 2-step video-MoE fit runs finite; the
+    text backbone rejects n_expert>1."""
+    import tempfile
+
+    from maa3_tpu.train.loop import Trainer
+
+    system = _tiny_video_system()
     rng = np.random.RandomState(0)
 
     def batches(n, bs=8):
@@ -564,6 +570,43 @@ def test_trainer_ep_wiring():
         text_system = _tiny_system(td)
         with pytest.raises(ValueError, match="video MoE backbone"):
             Trainer(text_system, batch_size=8, ckpt_dir=td, n_expert=2)
+
+
+@requires_8
+def test_ep_serving_matches_single_device():
+    """shard_serving with an 'expert' mesh axis: the expert-parallel video
+    MoE planned sampler must reproduce single-chip sample_cfg numerics,
+    with the expert stacks stored 1/(E*TP) per chip."""
+    from jax.sharding import PartitionSpec as P
+    from maa3_tpu.parallel.mesh import make_moe_mesh
+    from maa3_tpu.utils.nprand import unfreeze_zero_init
+
+    system = _tiny_video_system()
+    system.params["dit"] = unfreeze_zero_init(system.params["dit"],
+                                              jax.random.PRNGKey(3))
+
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16), jnp.float32)
+    uc = jnp.zeros_like(ctx)
+    k = jax.random.PRNGKey(2)
+
+    z1 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+
+    system.shard_serving(make_moe_mesh(1, 2, 2, devices=jax.devices()[:4]))
+    w1 = system.serving_dit()["blocks"]["feed_forward"]["time_experts"][
+        "w1"]["w"]
+    assert w1.sharding.spec == P(None, "expert", None, "model")
+    assert w1.addressable_shards[0].data.size == w1.size // 4
+    z2 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    np.testing.assert_allclose(z2, z1, rtol=2e-4, atol=2e-5)
+
+    # data x model x expert: batch rows additionally split over 'data'
+    system.shard_serving(make_moe_mesh(2, 2, 2))
+    z8 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    np.testing.assert_allclose(z8, z1, rtol=2e-4, atol=2e-5)
+
+    system.shard_serving(None)
+    z0 = np.asarray(system.sample_cfg(ctx, 3.0, uc, k, timesteps=4))
+    np.testing.assert_allclose(z0, z1, rtol=1e-6)
 
 
 @requires_8
