@@ -155,22 +155,13 @@ def median_time(fn, args, n=5):
 
 
 def component_time(fn, args, n=5):
-    """Per-call device time of fn via a 1-vs-3 back-to-back slope: queued
-    calls execute in order on-device, so (t3 - t1) / 2 cancels both the
-    dispatch and the fetch RPC overheads of the tunneled backend."""
-    def run_k(k):
-        out = None
-        for _ in range(k):
-            out = fn(*args)
-        return float(jnp.sum(out))
-
-    run_k(3)  # compile + warmup
-    t1s, t3s = [], []
-    for _ in range(n):
-        t0 = time.perf_counter(); run_k(1); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); run_k(3); t3s.append(time.perf_counter() - t0)
-    t1s.sort(); t3s.sort()
-    return max((t3s[len(t3s) // 2] - t1s[len(t1s) // 2]) / 2.0, 0.0)
+    """Per-call device time via the shared 1-vs-3 slope estimator
+    (scripts/_probe_util.slope_time) — one copy of the RPC-cancelling
+    methodology for bench and probes alike."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from _probe_util import slope_time
+    return slope_time(fn, args, n=n)
 
 
 def main():

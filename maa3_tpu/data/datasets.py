@@ -81,7 +81,8 @@ class TextSpecDataset:
 
     def __init__(self, split: str, dataset_name: str, spec_crop_len: int = 624,
                  drop: float = 0.0, mel_num: int = 80, seed: int = 0,
-                 lazy: bool = False, latent_downsample: int = 2):
+                 lazy: bool = False, latent_downsample: int = 2,
+                 moments_dim: int = 40):
         self.samples = read_tsv(dataset_name)
         if split in ("valid", "test"):
             self.samples = self.samples[:100]
@@ -91,6 +92,9 @@ class TextSpecDataset:
         self.rng = np.random.RandomState(seed)
         self.lazy = lazy
         self.latent_downsample = latent_downsample
+        # cached-moments channel count (2*embed_dim) for the corrupted-file
+        # fallback; refined from the first healthy load
+        self.moments_dim = moments_dim
         self._native = None
 
     def __len__(self) -> int:
@@ -110,8 +114,17 @@ class TextSpecDataset:
             # (the VAE is convolutional); boundary frames differ within the
             # encoder's receptive field — measured negligible vs the saved
             # per-step encode.
-            m = _load_mel(data["moments_path"], self.mel_num, self.crop_len, 0.0)
             tgt = self.crop_len // self.latent_downsample
+            # corrupted-file fallback must be MOMENTS-shaped, not mel-shaped
+            # (channels = 2*embed_dim, length on the latent grid) or the
+            # collate np.stack dies on the one bad file the fallback exists
+            # to survive; all-zero moments = unit-Gaussian latent, harmless
+            try:
+                m = np.load(data["moments_path"]).astype(np.float32)
+                self.moments_dim = m.shape[0]  # learn 2*embed_dim
+            except Exception:
+                print(f"corrupted moments: {data['moments_path']}", flush=True)
+                m = np.zeros((self.moments_dim, tgt), np.float32)
             if m.shape[1] < tgt:
                 m = np.tile(m, math.ceil(tgt / m.shape[1]))
             return {"caption": caption, "moments": m[:, :tgt]}

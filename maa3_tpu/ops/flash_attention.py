@@ -71,14 +71,64 @@ def flash_attention(q: Array, k: Array, v: Array,
                     block_q: int = 128, block_k: int = 128,
                     interpret: Optional[bool] = None) -> Array:
     """q (B, H, Lq, D), k/v (B, H, Lk, D), mask (B, Lk) True=valid.
-    Returns (B, H, Lq, D)."""
+    Returns (B, H, Lq, D).
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    (custom VJP below) differentiates the mathematically identical exact
+    attention — so long-context training through the auto-routed flash path
+    (DiTConfig.use_flash=None, seq>1024) works. The backward materializes
+    the (Lq, Lk) score matrix; O(L) backward memory would need a flash
+    backward kernel, which these models (trained at latent len 312) have
+    not justified."""
     if interpret is None:
         # no TPU: run the kernel in interpreter mode so the flash path stays
         # testable (and functional) on CPU hosts
         interpret = jax.default_backend() == "cpu"
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[3])
+    if mask is None:
+        mask = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
+    return _flash_core(q, k, v, mask.astype(jnp.int32),
+                       scale, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, mask, scale, block_q, block_k, interpret):
+    return _flash_pallas(q, k, v, mask, scale, block_q, block_k, interpret)
+
+
+def _attention_oracle(q, k, v, mask, scale):
+    """Exact-math attention the flash kernel computes (fp32 scores/softmax,
+    probabilities cast to v.dtype for the value matmul — mirroring the
+    kernel's dtypes so fwd and bwd agree)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = jnp.where(mask[:, None, None, :] > 0, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+def _flash_core_fwd(q, k, v, mask, scale, block_q, block_k, interpret):
+    out = _flash_pallas(q, k, v, mask, scale, block_q, block_k, interpret)
+    return out, (q, k, v, mask)
+
+
+def _flash_core_bwd(scale, block_q, block_k, interpret, res, g):
+    import numpy as np
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda a, b, c: _attention_oracle(a, b, c, mask, scale),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    # integer mask: cotangent must be float0 (no gradient flows to it)
+    return dq, dk, dv, np.zeros(mask.shape, jax.dtypes.float0)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _flash_pallas(q: Array, k: Array, v: Array, mask: Array, scale: float,
+                  block_q: int, block_k: int, interpret: bool) -> Array:
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
     # pad lanes to 128 and sequence to block multiples
     d_pad = max(128, ((d + 127) // 128) * 128)
@@ -93,9 +143,7 @@ def flash_attention(q: Array, k: Array, v: Array,
     kp = pad_to(k, lk_pad, d_pad).reshape(b * h, lk_pad, d_pad)
     vp = pad_to(v, lk_pad, d_pad).reshape(b * h, lk_pad, d_pad)
 
-    if mask is None:
-        mask = jnp.ones((b, lk), jnp.int32)
-    maskp = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, lk_pad - lk)))
+    maskp = jnp.pad(mask, ((0, 0), (0, lk_pad - lk)))
     maskp = jnp.broadcast_to(maskp[:, None, :], (b, h, lk_pad)).reshape(
         b * h, 1, lk_pad)  # (BH, 1, Lk): TPU block last-2 dims must tile
 

@@ -60,6 +60,9 @@ class _Pending:
     error: Optional[str] = None
     t_in: float = field(default_factory=time.perf_counter)
     latency_s: float = 0.0
+    # set by the handler when the client stopped waiting (queue timeout):
+    # the batcher drops abandoned requests instead of generating for nobody
+    abandoned: bool = False
 
     def group_key(self):
         return (self.steps, round(self.scale, 6), self.latent_len)
@@ -151,12 +154,22 @@ class Batcher(threading.Thread):
     def _collect(self):
         """One request blocks; then keep taking same-group requests until the
         window closes or the batch is full. A request from a different group
-        is held over to seed the next batch."""
-        if self._holdover is not None:
+        is held over to seed the next batch. Abandoned requests (client's
+        queue wait timed out -> 503 already sent) are dropped, not batched —
+        under overload this is what lets the backlog drain instead of
+        spending all device time generating for clients that gave up."""
+        def next_req(timeout):
+            while True:
+                req = self.queue.get(timeout=timeout)
+                if not req.abandoned:
+                    return req
+
+        if self._holdover is not None and not self._holdover.abandoned:
             first, self._holdover = self._holdover, None
         else:
+            self._holdover = None
             try:
-                first = self.queue.get(timeout=0.2)
+                first = next_req(0.2)
             except Empty:
                 return []
         batch = [first]
@@ -166,7 +179,7 @@ class Batcher(threading.Thread):
             if rest <= 0:
                 break
             try:
-                req = self.queue.get(timeout=rest)
+                req = next_req(rest)
             except Empty:
                 break
             if req.group_key() == first.group_key():
@@ -186,7 +199,11 @@ class Batcher(threading.Thread):
     def _process(self, batch) -> None:
         import jax
 
+        batch = [r for r in batch if not r.abandoned]
+        if not batch:
+            return
         try:
+            first = batch[0]
             bucket = _bucket(len(batch), self.cfg.max_batch)
             prompts = [r.prompt for r in batch] + [""] * (bucket - len(batch))
             structs = [r.struct for r in batch] + [""] * (bucket - len(batch))
@@ -194,18 +211,28 @@ class Batcher(threading.Thread):
                 {"ori_caption": prompts, "struct_caption": structs})
             uc = self._uncond(bucket)
 
-            self._counter += 1
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(self.cfg.seed), self._counter)
+            # per-request initial noise: row i depends only on request i's
+            # seed (or a fresh server counter), so {prompt, seed} reproduces
+            # its output and co-batched requests cannot perturb each other
+            shape_row = (self.system.spec.mel_dim, first.latent_len)
+            rows = []
             for r in batch:
-                if r.seed is not None:
-                    key = jax.random.fold_in(key, r.seed)
+                self._counter += 1
+                rng = np.random.default_rng(
+                    r.seed if r.seed is not None
+                    else (self.cfg.seed, self._counter))
+                rows.append(rng.standard_normal(shape_row).astype(np.float32))
+            for _ in range(bucket - len(batch)):
+                self._counter += 1
+                rows.append(np.random.default_rng(
+                    (self.cfg.seed, self._counter))
+                    .standard_normal(shape_row).astype(np.float32))
+            x0 = np.stack(rows)
 
-            first = batch[0]
             z = self.system.sample_cfg(
-                c, first.scale, uc, key,
+                c, first.scale, uc, jax.random.PRNGKey(0),
                 shape=(bucket, self.system.spec.mel_dim, first.latent_len),
-                timesteps=first.steps)
+                timesteps=first.steps, x0=x0)
             mel = self.system.decode_first_stage(z)
             wavs = self.system.vocode(mel)
 
@@ -269,22 +296,25 @@ def _make_handler(batcher: Batcher):
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 prompt = body["prompt"]
-            except (ValueError, KeyError) as e:
+                # parse numeric fields INSIDE the guard: a malformed
+                # "steps": "fast" must be a 400, not a handler traceback
+                req = _Pending(
+                    prompt=str(prompt),
+                    struct=str(body.get("struct_caption",
+                                        f"<{prompt}& all>")),
+                    steps=int(body.get("steps", cfg.default_steps)),
+                    scale=float(body.get("scale", cfg.default_scale)),
+                    latent_len=int(body.get("latent_len",
+                                            batcher.system.spec.mel_length)),
+                    seed=(int(body["seed"]) if "seed" in body else None),
+                )
+            except (ValueError, KeyError, TypeError) as e:
                 self._send_json(400, {"error": f"bad request: {e!r}"})
                 return
 
-            req = _Pending(
-                prompt=str(prompt),
-                struct=str(body.get("struct_caption",
-                                    f"<{prompt}& all>")),
-                steps=int(body.get("steps", cfg.default_steps)),
-                scale=float(body.get("scale", cfg.default_scale)),
-                latent_len=int(body.get("latent_len",
-                                        batcher.system.spec.mel_length)),
-                seed=(int(body["seed"]) if "seed" in body else None),
-            )
             batcher.submit(req)
             if not req.event.wait(cfg.request_timeout_s):
+                req.abandoned = True  # batcher drops it instead of serving air
                 self._send_json(503, {"error": "timed out in queue"})
                 return
             if req.error is not None:

@@ -358,15 +358,22 @@ class MAA3System:
     def sample_cfg(self, cond: Array, scale: float, uncond: Array,
                    key: Array, shape=None, timesteps: int = 25,
                    cond_mask: Optional[Array] = None,
-                   uncond_mask: Optional[Array] = None) -> Array:
+                   uncond_mask: Optional[Array] = None,
+                   x0: Optional[Array] = None) -> Array:
         """cond/uncond: (B, Ly, ctx); cond_mask/uncond_mask: optional (B, Ly)
         validity masks for padded context rows — threaded through the pooled
         caption feature AND the per-step cross-attention (the video MoE path
-        has no padding concept and rejects masks)."""
+        has no padding concept and rejects masks). x0: optional pre-drawn
+        initial noise (B, C, L) overriding `key`/`shape` — the serving
+        daemon draws one row per request seed so a request's output is
+        reproducible and independent of whatever it was co-batched with."""
         b = cond.shape[0]
         if shape is None:
             shape = (b, self.spec.mel_dim, self.spec.mel_length)
-        x0 = jax.random.normal(key, shape, jnp.float32)
+        if x0 is None:
+            x0 = jax.random.normal(key, shape, jnp.float32)
+        else:
+            x0 = jnp.asarray(x0, jnp.float32)
         if (cond_mask is not None
                 and self.spec.backbone_kind == "video_moe_dit"):
             raise ValueError("context masks are not supported for the video "

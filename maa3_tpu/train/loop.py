@@ -138,8 +138,14 @@ class Trainer:
                 self.spec,
                 dit=dataclasses.replace(self.spec.dit, seq_parallel=True))
 
+        # reference recipe: lr = base_lr * accum * ngpu * per_rank_bs
+        # (main.py:786-790) = base_lr * accum * global_batch. Here
+        # `batch_size` is already the per-host GLOBAL batch (the sampler
+        # yields batch_size rows which prepare_batch shards over the local
+        # 'data' chips), so only multi-host replication scales it further —
+        # multiplying by the mesh data-axis size would overcount local chips.
         lr_mult = lr_multiplier if lr_multiplier is not None else (
-            self.accum_steps * self.mesh.shape["data"] * batch_size)
+            self.accum_steps * jax.process_count() * batch_size)
         self.optimizer = make_optimizer(self.spec.base_learning_rate,
                                         lr_multiplier=lr_mult,
                                         warm_up_steps=warm_up_steps,

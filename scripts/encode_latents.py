@@ -75,9 +75,11 @@ def main():
     shard_rows = rows[opt.shard::opt.num_shards]
     os.makedirs(opt.save_path, exist_ok=True)
 
+    # params are an explicit jit argument — closing over them would bake
+    # the VAE weights into the compiled program as constants
     @jax.jit
-    def encode(mels):
-        return vae_encode_moments(vae_params, vae_cfg, mels)
+    def encode(params, mels):
+        return vae_encode_moments(params, vae_cfg, mels)
 
     import math
     done = 0
@@ -94,7 +96,8 @@ def main():
         n = len(mels)
         while len(mels) < opt.batch:
             mels.append(mels[-1])
-        moments = np.asarray(encode(jnp.asarray(np.stack(mels))), np.float32)
+        moments = np.asarray(encode(vae_params, jnp.asarray(np.stack(mels))),
+                             np.float32)
         ds = opt.crop_len // moments.shape[-1]
         for r, mom, ln in zip(chunk, moments[:n], lens):
             name = os.path.splitext(os.path.basename(r["mel_path"]))[0]

@@ -59,3 +59,50 @@ def test_flash_multiblock_online_softmax():
     ref = _dense_ref(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_flash_gradients_match_dense():
+    """flash_attention is differentiable (custom VJP: exact-attention
+    backward) — gradients must match autodiff through the dense reference,
+    so long-context training (auto flash at seq>1024) works."""
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 2, 64, 32))
+    k = jax.random.normal(kk, (2, 2, 96, 32))
+    v = jax.random.normal(kv, (2, 2, 96, 32))
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((2, 80), bool), np.zeros((2, 16), bool)], axis=1))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask=mask, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_dense_ref(q, k, v, mask=mask) ** 2)
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_flash_trains_in_model():
+    """A DiT train-style grad through the auto-routed flash path (use_flash
+    True) must run and be finite — the serving kernel cannot be a training
+    landmine."""
+    from maa3_tpu.models.dit import DiTConfig, dit_init, dit_apply
+    from maa3_tpu.utils.nprand import unfreeze_zero_init
+
+    cfg = DiTConfig(in_channels=4, context_dim=16, hidden_size=32, depth=1,
+                    num_heads=2, max_len=256, multiple_of=16, use_flash=True)
+    params = unfreeze_zero_init(dit_init(jax.random.PRNGKey(0), cfg),
+                                jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 40))
+    t = jnp.array([3, 700])
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 16))
+
+    g = jax.grad(lambda p: jnp.sum(dit_apply(
+        p, cfg, x, t, ctx, compute_dtype=jnp.float32) ** 2))(params)
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
+    assert any(float(jnp.abs(a).max()) > 0 for a in flat)

@@ -65,6 +65,17 @@ def test_dataset_moments_path_routing(tmp_path):
     assert item["moments"].shape == (8, 12)
     np.testing.assert_array_equal(item["moments"][:, :4], item["moments"][:, 4:8])
 
+    # corrupted-file fallback must be MOMENTS-shaped (learned from the first
+    # healthy load) so it still stacks with healthy items in the collate —
+    # zero moments = unit-Gaussian latent, training survives the bad file
+    mp.write_bytes(b"not an npy")
+    bad = ds[0]
+    assert bad["moments"].shape == (8, 12)
+    np.testing.assert_array_equal(bad["moments"], 0.0)
+    np.save(mp, mom)
+    batch = ds.collater([ds[0], bad])
+    assert batch["moments"].shape == (2, 8, 12)
+
 
 def test_trainer_prepare_batch_passthrough(tmp_path):
     from tests.test_train import _tiny_system

@@ -151,3 +151,44 @@ def test_warmup_compiles_buckets(tmp_path):
     stats = server.batcher.stats()
     assert stats["served"] == 1 + 4
     server.httpd.server_close()
+
+
+def test_seed_reproducible_and_batch_isolated(tmp_path):
+    """A request's {prompt, seed} fully determines its audio: repeating it
+    returns identical bytes, co-batched neighbors don't perturb it, and a
+    malformed numeric field is a 400 (not a dropped connection)."""
+    system = _tiny_serving_system(tmp_path)
+    server = AudioServer(system, ServeConfig(max_batch=4, default_steps=3,
+                                             batch_window_ms=60.0))
+    server.start()
+    try:
+        solo = _post(server.port, {"prompt": "a dog", "seed": 7,
+                                   "format": "json"})
+        b1 = json.load(solo)["wav_base64"]
+
+        # same request again, alone
+        again = json.load(_post(server.port, {"prompt": "a dog", "seed": 7,
+                                              "format": "json"}))
+        assert json.loads(json.dumps(again))["wav_base64"] == b1
+
+        # same request co-batched with a different-seed neighbor
+        results = {}
+
+        def go(name, body):
+            results[name] = json.load(_post(server.port, body))
+
+        t1 = threading.Thread(target=go, args=(
+            "a", {"prompt": "a dog", "seed": 7, "format": "json"}))
+        t2 = threading.Thread(target=go, args=(
+            "b", {"prompt": "a cat", "seed": 8, "format": "json"}))
+        t1.start(), t2.start(), t1.join(120), t2.join(120)
+        assert results["a"]["wav_base64"] == b1
+        assert results["b"]["wav_base64"] != b1
+
+        # malformed numeric field -> clean 400
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server.port, {"prompt": "x", "steps": "fast"})
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
