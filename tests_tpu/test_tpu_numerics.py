@@ -176,3 +176,27 @@ def test_fast_sin2_generator_within_bf16_noise_on_tpu():
                 os.environ["MAA3_FAST_SIN2"] = old
     # tanh-bounded output in [-1, 1]: bf16 grid spacing ~0.004 there
     np.testing.assert_allclose(outs["1"], outs["0"], atol=0.02)
+
+
+def test_flash_bwd_compiled_matches_interpret():
+    """Mosaic-compiled flash fwd-with-lse + bwd kernels vs interpret mode:
+    gradients must agree on the real TPU (the CPU suite only exercises
+    interpret mode)."""
+    from maa3_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(2, 2, 160, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, 192, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 2, 192, 64)).astype(np.float32))
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((2, 150), bool), np.zeros((2, 42), bool)], axis=1))
+
+    def loss(interp):
+        return lambda q, k, v: jnp.sum(flash_attention(
+            q, k, v, mask=mask, interpret=interp) ** 2)
+
+    gc = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    gi = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gc, gi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
