@@ -54,8 +54,14 @@ class DiTConfig:
     qk_norm: bool = False
     rope_scaling_factor: float = 1.0
     ntk_factor: float = 1.0
-    # Pallas flash-attention: None = auto (kernel when seq > 1024, where the
-    # O(L^2) score matrix starts to dominate VMEM); True/False = force
+    # Pallas flash-attention: None = auto (kernel when seq > 4096);
+    # True/False = force. The threshold is MEMORY-motivated, not speed:
+    # measured on v5e (PROBE_FLASH_TRAIN.json), XLA dense attention is still
+    # ~2x faster for a train grad at seq 2048 (head_dim 64/72 pads to the
+    # 128-lane MXU width, wasting half the array in the kernel), but its
+    # O(L^2) score buffers grow past the HBM budget around 4-8k — where the
+    # O(L)-memory kernel (fwd AND bwd, ops/flash_attention.py) is the only
+    # viable route.
     use_flash: "Optional[bool]" = None
     # bf16-serving drift levers (no effect in fp32 mode): keep the attention
     # score matrices in fp32 (the HBM cost only matters at batch >= 4), and
@@ -87,7 +93,7 @@ class DiTConfig:
     def flash_for_len(self, seq_len: int) -> bool:
         if self.use_flash is not None:
             return self.use_flash
-        return seq_len > 1024
+        return seq_len > 4096
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ class MoEDiTConfig:
     ntk_factor: float = 1.0
     num_experts: int = 4
     num_timesteps: int = 1000
-    use_flash: "Optional[bool]" = None  # None = auto (seq > 1024)
+    use_flash: "Optional[bool]" = None  # None = auto (seq > 4096; see dit.py)
     remat: bool = False  # rematerialize blocks in backward (training memory)
 
     @property
@@ -67,7 +67,7 @@ class MoEDiTConfig:
     def flash_for_len(self, seq_len: int) -> bool:
         if self.use_flash is not None:
             return self.use_flash
-        return seq_len > 1024
+        return seq_len > 4096
 
     @property
     def time_bucket(self) -> int:
