@@ -59,9 +59,10 @@ class DiTConfig:
     # measured on v5e (PROBE_FLASH_TRAIN.json), XLA dense attention is still
     # ~2x faster for a train grad at seq 2048 (head_dim 64/72 pads to the
     # 128-lane MXU width, wasting half the array in the kernel), but its
-    # O(L^2) score buffers grow past the HBM budget around 4-8k — where the
-    # O(L)-memory kernel (fwd AND bwd, ops/flash_attention.py) is the only
-    # viable route.
+    # O(L^2) score buffers grow past the HBM budget around 4-8k (analytic:
+    # one B*H*L^2 bf16 score set is 2.1 GiB at L=8192/B2/H8 and the dense
+    # backward keeps several alive) — where the O(L)-memory kernel (fwd AND
+    # bwd, ops/flash_attention.py) is the only viable route.
     use_flash: "Optional[bool]" = None
     # bf16-serving drift levers (no effect in fp32 mode): keep the attention
     # score matrices in fp32 (the HBM cost only matters at batch >= 4), and

@@ -105,8 +105,14 @@ def _flash_bwd_dkv_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
     s = jnp.where(valid[None, :], s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0][:, None])          # (bq, bk)
 
-    dv_acc[...] += jax.lax.dot_general(               # p^T do -> (bk, d)
-        p, do, (((0,), (0,)), ((), ())),
+    # dv uses p quantized to v.dtype — exactly the p the forward's value
+    # matmul consumed; the delta-trick term below keeps unquantized p (the
+    # standard flash backward, same approximation as the CUDA flash-attn
+    # kernels: O(bf16 eps) on ds, asserted within tolerance by the bf16
+    # case of test_flash_gradients_match_dense)
+    pq = p.astype(v_ref.dtype).astype(jnp.float32)
+    dv_acc[...] += jax.lax.dot_general(               # pq^T do -> (bk, d)
+        pq, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(                         # do v^T -> (bq, bk)
         do, v, (((1,), (1,)), ((), ())),
@@ -167,8 +173,8 @@ def flash_attention(q: Array, k: Array, v: Array,
     per-row log-sum-exp) and recomputes probabilities blockwise in two
     Pallas backward kernels (dk/dv with the q loop inner, dq with the kv
     loop inner) — long-context training through the auto-routed flash path
-    (DiTConfig.use_flash=None, seq>1024) runs at flash memory cost in both
-    directions."""
+    (DiTConfig.use_flash=None, seq>4096 — the threshold is memory-motivated,
+    see DiTConfig) runs at flash memory cost in both directions."""
     if interpret is None:
         # no TPU: run the kernel in interpreter mode so the flash path stays
         # testable (and functional) on CPU hosts

@@ -1,11 +1,15 @@
 """Long-context training probe: Pallas flash (fwd + O(L) bwd) vs XLA dense
-attention through a DiT train-style gradient at seq >> 1024.
+attention through a DiT train-style gradient at long sequence.
 
-The flash kernel is the long-context path (DiTConfig.use_flash auto for
-seq > 1024); with the custom VJP (ops/flash_attention.py) its backward also
-runs blockwise. This probe records the step time of grad(sum(dit_apply^2))
-under both routes plus the device peak memory, at a sequence length where
-the dense (L, L) fp32/bf16 score matrices start to dominate HBM.
+This probe produced the evidence behind the use_flash auto threshold
+(DiTConfig: kernel only past seq 4096): at seq 2048 dense XLA attention is
+~2x FASTER for the train grad (head_dim pads to 128 MXU lanes in the
+kernel), so the flash route is memory-motivated. The axon-tunneled backend
+exposes no memory_stats (peak_mib_* report null there) and
+peak_bytes_in_use is a process-lifetime high-water mark anyway, so the
+memory side is reported ANALYTICALLY: dense_score_mib_analytic is the size
+of ONE materialized (L, L) score matrix set (B*H*L^2 bf16); the dense
+backward holds several of these live, while the flash path holds none.
 
 Usage: MAA3_PLATFORM=tpu python scripts/probe_flash_train.py [--seq 2048]
 Writes one JSON line; run detached on the tunneled chip (CLAUDE.md).
@@ -50,7 +54,11 @@ def main():
     ctx = jax.random.normal(key, (opt.batch, 77, 1024), jnp.float32)
 
     out = {"metric": "flash_train_step", "seq": opt.seq, "batch": opt.batch,
-           "hidden": opt.hidden, "depth": opt.depth}
+           "hidden": opt.hidden, "depth": opt.depth,
+           # one materialized (L, L) bf16 score-matrix set; the dense
+           # backward keeps several alive (logits + probs + their grads)
+           "dense_score_mib_analytic": round(
+               opt.batch * opt.heads * opt.seq ** 2 * 2 / 2 ** 20, 1)}
     for name, use_flash in (("flash", True), ("dense", False)):
         cfg = DiTConfig(in_channels=20, context_dim=1024,
                         hidden_size=opt.hidden, depth=opt.depth,
@@ -73,9 +81,13 @@ def main():
         out[f"peak_mib_{name}"] = device_memory_stats().get("mem_peak_mib")
         print(json.dumps(out), flush=True)
 
-    if out.get("grad_ms_dense"):
-        out["flash_speedup"] = round(
-            out["grad_ms_dense"] / out["grad_ms_flash"], 3)
+    # explicit presence + nonzero checks: slope_time clamps at 0.0, and a
+    # jittery tunnel can return 0.0 for either arm — report null, not a
+    # silently missing field or a ZeroDivisionError
+    if "grad_ms_dense" in out and "grad_ms_flash" in out:
+        out["flash_speedup"] = (
+            round(out["grad_ms_dense"] / out["grad_ms_flash"], 3)
+            if out["grad_ms_flash"] > 0 else None)
     print(json.dumps(out), flush=True)
 
 

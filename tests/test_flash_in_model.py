@@ -46,6 +46,13 @@ def test_flash_auto_threshold():
     assert not cfg.flash_for_len(2048)
     assert cfg.flash_for_len(5000)       # long-context: Pallas kernel
 
+    # the MoE config carries a hand-synced copy of the same threshold
+    from maa3_tpu.models.dit_moe import MoEDiTConfig
+    moe = MoEDiTConfig(in_channels=4, context_dim=16, hidden_size=32,
+                       depth=1, num_heads=2, max_len=8192, multiple_of=16)
+    assert not moe.flash_for_len(2048)
+    assert moe.flash_for_len(5000)
+
 
 def test_long_context_generation_through_flash():
     """25-step CFG generation at 1300 frames runs through the kernel."""
