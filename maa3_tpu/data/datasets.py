@@ -93,8 +93,13 @@ class TextSpecDataset:
         self.lazy = lazy
         self.latent_downsample = latent_downsample
         # cached-moments channel count (2*embed_dim) for the corrupted-file
-        # fallback; refined from the first healthy load
+        # fallback. Callers that know the VAE config pass 2*embed_dim
+        # (scripts/train.py); it is also confirmed from the first healthy
+        # load, and if the FIRST read is the corrupted one, the fallback
+        # scans ahead for a healthy file before trusting the default — so
+        # the fallback array can never mismatch healthy items in collate.
         self.moments_dim = moments_dim
+        self._moments_dim_confirmed = False
         self._native = None
 
     def __len__(self) -> int:
@@ -122,8 +127,23 @@ class TextSpecDataset:
             try:
                 m = np.load(data["moments_path"]).astype(np.float32)
                 self.moments_dim = m.shape[0]  # learn 2*embed_dim
+                self._moments_dim_confirmed = True
             except Exception:
                 print(f"corrupted moments: {data['moments_path']}", flush=True)
+                if not self._moments_dim_confirmed:
+                    # the very first read was the corrupted one: learn the
+                    # true channel count from a healthy neighbor before
+                    # emitting a fallback that collate must stack
+                    for other in self.samples[:32]:
+                        mp = other.get("moments_path")
+                        if not mp or mp == data["moments_path"]:
+                            continue
+                        try:
+                            self.moments_dim = int(np.load(mp).shape[0])
+                            self._moments_dim_confirmed = True
+                            break
+                        except Exception:
+                            continue
                 m = np.zeros((self.moments_dim, tgt), np.float32)
             if m.shape[1] < tgt:
                 m = np.tile(m, math.ceil(tgt / m.shape[1]))

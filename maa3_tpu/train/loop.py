@@ -118,6 +118,12 @@ class Trainer:
                                  "'data' axis of the pipeline shard_map")
             if fuse_gemms:
                 raise ValueError("n_pipe>1 requires the unfused GEMM layout")
+            if seq_parallel:
+                raise ValueError(
+                    "n_pipe>1 + seq_parallel unsupported: the pipelined "
+                    "apply (parallel/pipeline.py) runs inside its own "
+                    "shard_map and does not place the Megatron SP "
+                    "sharding constraints — SP would be silently inert")
             if self.spec.backbone_kind == "video_moe_dit":
                 raise ValueError("pipeline parallelism covers the text DiT "
                                  "backbone (the video MoE uses TP+DP)")
@@ -288,8 +294,24 @@ class Trainer:
             # frozen cond stage: encode outside the train step
             batch["context"] = np.asarray(
                 self.system.get_learned_conditioning(raw["caption"]), np.float32)
-        return {k: jax.device_put(v, batch_sharding(self.mesh, np.asarray(v).ndim))
-                for k, v in batch.items()}
+        return {k: self._to_global(np.asarray(v)) for k, v in batch.items()}
+
+    def _to_global(self, v: np.ndarray) -> Array:
+        """Host-local batch rows -> a global data-sharded array.
+
+        Single-process: plain device_put onto the data-sharded NamedSharding.
+        Multi-process (scripts/train.py --distributed): each process loads
+        only its sampler shard (BucketBatchSampler rank/num_replicas), so the
+        local rows are this process's slice of the global batch —
+        make_array_from_process_local_data assembles the global Array from
+        per-process shards without any cross-host transfer. A plain
+        device_put here would try to place the GLOBAL array from one host
+        and fail (or misplace shards) on a multi-host mesh. Exercised by
+        tests/test_multihost.py (2-process CPU cluster)."""
+        sharding = batch_sharding(self.mesh, v.ndim)
+        if jax.process_count() == 1:
+            return jax.device_put(v, sharding)
+        return jax.make_array_from_process_local_data(sharding, v)
 
     # -- scale_by_std (ddpm_audio.py:88-103) ------------------------------
 
@@ -422,6 +444,16 @@ class Trainer:
                 apply_fn = (lambda p, x, t, c:
                             moe_dit_apply(p, dit_cfg, x, t, c,
                                           compute_dtype=cdt))
+            elif self.n_pipe > 1:
+                # mirror __init__: the blocks are 'pipe'-sharded — a plain
+                # dit_apply here would make GSPMD all-gather the full block
+                # stack onto every chip per eval step
+                from maa3_tpu.parallel.pipeline import dit_apply_pipelined
+                dit_cfg, mesh, n_micro = self.spec.dit, self.mesh, self.n_micro
+                apply_fn = (lambda p, x, t, c:
+                            dit_apply_pipelined(p, dit_cfg, x, t, c,
+                                                mesh=mesh, n_micro=n_micro,
+                                                compute_dtype=cdt))
             from maa3_tpu.train.step import make_eval_step
             self._eval_step = jax.jit(make_eval_step(
                 self.spec.dit, self.spec.vae,

@@ -104,7 +104,10 @@ def build_loader(cfg: dict, system, batch_size: int, seed: int,
         ds = TextSpecDataset(ds_split, dcfg["dataset_name"],
                              dcfg.get("spec_crop_len", 624),
                              dcfg.get("drop", 0.0) if ds_split == "train" else 0.0,
-                             seed=seed, lazy=True)
+                             seed=seed, lazy=True,
+                             # corrupted-moments fallback shape: known from
+                             # the VAE config, not guessed (2*embed_dim)
+                             moments_dim=2 * system.spec.vae.embed_dim)
         indices = list(range(len(ds)))
         collate = ds.collater
     else:
