@@ -10,19 +10,23 @@ round-trips is also the batched-serving lever: XLA dense attention writes
 O(B·H·L²) score/prob buffers, which is what makes serving throughput fall
 with batch (PARITY.md) — the kernel keeps all of it in VMEM.
 
-Performance notes (round 3 rewrite):
-- head_dim stays NATIVE (e.g. 72) in HBM: blocks are (block, d) and Mosaic
-  pads lanes internally. The previous revision zero-padded d to 128 at the
-  XLA level, costing +78% q/k/v/o HBM traffic at d=72.
-- every matmul takes the inputs' dtype (bf16 in training/serving) with fp32
-  accumulation. The previous backward cast q/k/v/do to fp32 *before* the
-  dots, running the MXU at the fp32 rate (~8x slower than bf16).
-- short sequences (one kv block) use a direct-softmax kernel: no online
-  rescaling, no scratch accumulator round-trips, grid (B*H, nq).
+Performance notes (round 3 rewrite). At production shapes (seq 312-1248,
+head_dim 72) attention is softmax-VPU- and HBM-bound, not MXU-bound, so:
+- head_dim stays NATIVE in HBM (72, not zero-padded 128: -44% q/k/v/o bytes)
+- every matmul takes the inputs' dtype (bf16 in training) with fp32 accum —
+  the earlier backward cast inputs to fp32 first, running the MXU ~8x slower
+- the softmax scale is folded into q and exponentials run as exp2 (the VPU's
+  native base): zero per-element multiplies on the (Lq, Lk) tile
+- a forward-only direct-softmax path holds the whole kv range in VMEM (up to
+  1536 keys), processes several (b, h) pairs per grid step via fori_loop
+  (per-step overhead would dominate one-pair steps), and — when the caller
+  passes no mask — corrects for the zero-padded tail keys analytically on
+  the row sums (O(Lq)) instead of an elementwise where (O(Lq·Lk))
+- block sizes adapt with divisor-friendly picks (seq 624 pads to 624, not
+  to 2x512)
 
-Layout: q/k/v (B, H, L, D). L is padded to the block size with masked tails.
-Grid (B*H, nq, nk) with the kv loop innermost; running max/denominator in
-VMEM scratch.
+Layout: q/k/v (B, H, L, D). L is padded to the block size; padded keys are
+masked (or sum-corrected). Grid (B*H, nq, nk) with the kv loop innermost.
 """
 
 from __future__ import annotations
@@ -39,37 +43,62 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 NEG_INF = -1e30
+_LOG2E = 1.4426950408889634   # log2(e): exp(x) == exp2(x * _LOG2E)
+_LN2 = 0.6931471805599453
 # VMEM-safe caps; lq/lk smaller than the cap collapse to a single block
 _BLOCK_Q_CAP = 512
 _BLOCK_K_CAP = 512
 _BLOCK_Q_BWD_CAP = 256
 _BLOCK_K_BWD_CAP = 256
 # forward-only (no lse) direct-softmax path: whole kv range in VMEM up to
-# this many keys (k+v at d<=128 is <=0.8 MB/pair)
+# this many keys
 _FAST_LK_CAP = 1536
+import os as _os
+_FAST_VMEM_BUDGET = int(_os.environ.get("MAA3_FLASH_VMEM_BUDGET",
+                                        10 << 20))
 
 
-def _fwd_single_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
-                       *, scale: float, g: int):
-    """Whole kv range in one block: direct (not online) softmax. Processes
-    `g` (b, h) pairs per grid step (statically unrolled) — each pair's dots
-    are sub-microsecond MXU work at short seq, so per-step overhead would
-    dominate a one-pair-per-step grid."""
-    for gi in range(g):
-        q = q_ref[gi]                     # (bq, d)
-        k = k_ref[gi]                     # (lk, d)
+def _scale_q(q, scale):
+    # fold softmax scale AND the exp->exp2 base change into q: the (l, d)
+    # multiply replaces two (Lq, Lk) per-element passes downstream
+    return (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+
+
+def _fwd_single_kernel(*refs, scale: float, g: int, masked: bool,
+                       n_pad: int):
+    """Whole kv range in one block: direct (not online) softmax over `g`
+    (b, h) pairs per grid step via fori_loop (buffer-reusing, small code).
+
+    masked=False requires zero-padded tail keys only (no user mask): their
+    scores are exactly 0 (k rows are zeros), so m >= 0 and each contributes
+    exp2(-m) to the row sum — subtracted analytically, O(Lq) not O(Lq*Lk)."""
+    if masked:
+        mask_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+
+    def body(gi, _):
+        q = _scale_q(q_ref[gi], scale)        # (bq, d)
+        k = k_ref[gi]                         # (lk, d)
         v = v_ref[gi]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        valid = mask_ref[gi, 0] > 0       # (lk,)
-        s = jnp.where(valid[None, :], s, NEG_INF)
+                                preferred_element_type=jnp.float32)
+        if masked:
+            valid = mask_ref[gi] > 0          # (1, lk), broadcasts over rows
+            s = jnp.where(valid, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if not masked and n_pad:
+            l = l - n_pad * jnp.exp2(-m)
+        l = jnp.maximum(l, 1e-30)
         acc = jax.lax.dot_general(p.astype(v.dtype), v,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         o_ref[gi] = (acc / l).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g, body, 0, unroll=(g <= 2))
 
 
 def _fwd_body(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
@@ -82,11 +111,12 @@ def _fwd_body(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]                      # (bq, d)
+    q = _scale_q(q_ref[0], scale)     # (bq, d)
     k = k_ref[0]                      # (bk, d)
     v = v_ref[0]                      # (bk, d)
+    # base-2 domain throughout; lse converts to natural log at finalize
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
     valid = mask_ref[0, 0] > 0        # (bk,) int32 -> bool
     s = jnp.where(valid[None, :], s, NEG_INF)
 
@@ -94,8 +124,8 @@ def _fwd_body(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     l_prev = l_ref[...]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)            # (bq, bk)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)           # (bq, bk)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -108,9 +138,9 @@ def _fwd_body(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         denom = jnp.maximum(l_ref[...], 1e-30)
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
         if lse_ref is not None:
-            # log-sum-exp per query row: the bwd kernels reconstruct
-            # p = exp(s - lse) blockwise from this
-            lse_ref[0, 0] = (m_ref[...] + jnp.log(denom))[:, 0]
+            # natural-log log-sum-exp per query row: the bwd kernels
+            # reconstruct p = exp2((s2 - lse*log2e)) blockwise from this
+            lse_ref[0, 0] = ((m_ref[...] + jnp.log2(denom)) * _LN2)[:, 0]
 
 
 def _flash_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
@@ -138,14 +168,14 @@ def _flash_bwd_dkv_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]                          # (bq, d)
+    qs = _scale_q(q_ref[0], scale)        # (bq, d), scaled by scale*log2e
     do = do_ref[0]                        # (bq, d)
     k = k_ref[0]                          # (bk, d)
     v = v_ref[0]                          # (bk, d)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    s2 = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     valid = mask_ref[0, 0] > 0
-    p = jnp.exp(s - lse_ref[0, 0][:, None])          # (bq, bk)
+    p = jnp.exp2(s2 - (lse_ref[0, 0] * _LOG2E)[:, None])   # (bq, bk)
     # explicit zeroing: for a fully-masked query row lse underflows to
     # ~NEG_INF and exp(s - lse) would be 1 at every masked key — the
     # forward's rescaling hides this, the backward must mask explicitly
@@ -164,9 +194,10 @@ def _flash_bwd_dkv_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     ds = (p * (dp - delta_ref[0, 0][:, None])).astype(q_ref.dtype)
+    # ds^T qs accumulates ds^T q * (scale*log2e); * ln2 restores ds^T q * scale
     dk_acc[...] += jax.lax.dot_general(               # ds^T q -> (bk, d)
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        ds, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * _LN2
 
     @pl.when(ib == nq - 1)
     def _finalize():
@@ -185,14 +216,14 @@ def _flash_bwd_dq_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]
+    qs = _scale_q(q_ref[0], scale)
     do = do_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    s2 = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     valid = mask_ref[0, 0] > 0
-    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    p = jnp.exp2(s2 - (lse_ref[0, 0] * _LOG2E)[:, None])
     p = jnp.where(valid[None, :], p, 0.0)   # see dkv kernel comment
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
@@ -227,7 +258,9 @@ def flash_attention(q: Array, k: Array, v: Array,
         interpret = jax.default_backend() == "cpu"
     scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[3])
     if mask is None:
-        mask = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
+        # the no-mask fast path corrects padded tails analytically; the
+        # bwd/multi-block paths still need the explicit all-ones mask
+        return _flash_core(q, k, v, None, scale, block_q, block_k, interpret)
     return _flash_core(q, k, v, mask.astype(jnp.int32),
                        scale, block_q, block_k, interpret)
 
@@ -248,10 +281,15 @@ def _flash_core_fwd(q, k, v, mask, scale, block_q, block_k, interpret):
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, g):
     import numpy as np
     q, k, v, mask, o, lse = res
+    if mask is None:
+        mask = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
+        dmask = None
+    else:
+        # integer mask: cotangent must be float0 (no gradient flows to it)
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
     dq, dk, dv = _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale,
                                    block_q, block_k, interpret)
-    # integer mask: cotangent must be float0 (no gradient flows to it)
-    return dq, dk, dv, np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dmask
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -285,15 +323,19 @@ def _resolve_blocks(lq: int, lk: int, block_q: Optional[int],
     return bq, bk, _round_up(lq, bq), _round_up(lk, bk)
 
 
-def _pick_group(bh: int, lk_pad: int, d: int, budget_bytes: int = 4 << 20):
+def _pick_group(bh: int, lk_pad: int, block_q: int, d: int) -> int:
     """(b, h) pairs per grid step for the short-seq fast path: amortizes the
     per-grid-step overhead, which dominates when each step's dots are tiny
     (e.g. seq 312: one (320,72)x(72,320) matmul is ~0.2 us of MXU time).
-    Largest power of two dividing bh whose q/k/v/o blocks fit the budget."""
-    per = 4 * lk_pad * d * 2  # q+k+v+o one pair, bf16
+    Largest power of two (<=8) dividing bh that fits the VMEM budget:
+    double-buffered lane-padded q/k/v/o blocks + one set of fori-local
+    (block_q, lk_pad) fp32 temps."""
+    d_lanes = _round_up(d, 128)
+    per_pair = 2 * (2 * lk_pad + 2 * block_q) * d_lanes * 2  # dbl-buf, bf16
+    temps = 3 * block_q * lk_pad * 4
     g = 1
-    while (g * 2 <= 16 and bh % (g * 2) == 0
-           and per * g * 2 <= budget_bytes):
+    while (g * 2 <= 8 and bh % (g * 2) == 0
+           and per_pair * g * 2 + temps <= _FAST_VMEM_BUDGET):
         g *= 2
     return g
 
@@ -314,44 +356,56 @@ def _pad_mask(mask, b, h, lk_pad):
         b * h, 1, lk_pad)  # (BH, 1, Lk): TPU block last-2 dims must tile
 
 
-def _flash_pallas(q: Array, k: Array, v: Array, mask: Array, scale: float,
-                  block_q: Optional[int], block_k: Optional[int],
-                  interpret: bool, with_lse: bool):
+def _flash_pallas(q: Array, k: Array, v: Array, mask: Optional[Array],
+                  scale: float, block_q: Optional[int],
+                  block_k: Optional[int], interpret: bool, with_lse: bool):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if (block_k is None and not with_lse
             and _round_up(lk, 16) <= _FAST_LK_CAP):
         block_k = _round_up(lk, 16)   # force nk == 1 -> direct-softmax path
+    cap_q = _BLOCK_Q_CAP if _round_up(lk, 16) <= 768 else 256
     block_q, block_k, lq_pad, lk_pad = _resolve_blocks(
-        lq, lk, block_q, block_k, _BLOCK_Q_CAP, _BLOCK_K_CAP)
+        lq, lk, block_q, block_k, cap_q, _BLOCK_K_CAP)
 
     qp = _pad_l(q, lq_pad)
     kp = _pad_l(k, lk_pad)
     vp = _pad_l(v, lk_pad)
-    maskp = _pad_mask(mask, b, h, lk_pad)
 
     nq = lq_pad // block_q
     nk = lk_pad // block_k
 
     if nk == 1 and not with_lse:
         # short-seq fast path: direct softmax, no scratch, grouped 2-D grid
-        grp = _pick_group(b * h, lk_pad, d)
+        grp = _pick_group(b * h, lk_pad, block_q, d)
+        masked = mask is not None
+        kernel = functools.partial(_fwd_single_kernel, scale=scale, g=grp,
+                                   masked=masked, n_pad=lk_pad - lk)
+        in_specs = [
+            pl.BlockSpec((grp, block_q, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((grp, lk_pad, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((grp, lk_pad, d), lambda g, i: (g, 0, 0)),
+        ]
+        operands = [qp, kp, vp]
+        if masked:
+            in_specs.insert(0, pl.BlockSpec((grp, 1, lk_pad),
+                                            lambda g, i: (g, 0, 0)))
+            operands.insert(0, _pad_mask(mask, b, h, lk_pad))
         out = pl.pallas_call(
-            functools.partial(_fwd_single_kernel, scale=scale, g=grp),
+            kernel,
             out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
             grid=(b * h // grp, nq),
-            in_specs=[
-                pl.BlockSpec((grp, 1, lk_pad), lambda g, i: (g, 0, 0)),
-                pl.BlockSpec((grp, block_q, d), lambda g, i: (g, i, 0)),
-                pl.BlockSpec((grp, lk_pad, d), lambda g, i: (g, 0, 0)),
-                pl.BlockSpec((grp, lk_pad, d), lambda g, i: (g, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((grp, block_q, d), lambda g, i: (g, i, 0)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")),
             interpret=interpret,
-        )(maskp, qp, kp, vp)
+        )(*operands)
         return out.reshape(b, h, lq_pad, d)[:, :, :lq, :], None
+
+    if mask is None:
+        mask = jnp.ones((b, lk), jnp.int32)
+    maskp = _pad_mask(mask, b, h, lk_pad)
 
     out_shape = [jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))]
@@ -398,7 +452,8 @@ def _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale: float,
     block_q, block_k, lq_pad, lk_pad = _resolve_blocks(
         lq, lk, block_q, block_k, _BLOCK_Q_BWD_CAP, _BLOCK_K_BWD_CAP)
     # lse was produced with the FWD block size — it is dense (BH, 1, lq_fwd);
-    # re-pad to this pass's lq_pad if they differ
+    # re-pad to this pass's lq_pad if they differ (padded rows have zero do,
+    # so they contribute nothing to dk/dv and their dq rows are sliced away)
     lq_fwd = lse.shape[2]
     if lq_fwd < lq_pad:
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad - lq_fwd)))

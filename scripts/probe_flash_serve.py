@@ -42,7 +42,7 @@ def main():
         enable_compile_cache()
     from maa3_tpu.ops.attention import _sdpa
     from maa3_tpu.ops.flash_attention import flash_attention
-    from _probe_util import slope_time
+    from _probe_util import slope_time, chained
 
     dt = jnp.dtype(opt.dtype)
     h, d = opt.heads, opt.head_dim
@@ -56,20 +56,33 @@ def main():
             k = jax.random.normal(key, (b, seq, h, d), dt)
             v = jax.random.normal(key, (b, seq, h, d), dt)
 
-            dense = jax.jit(lambda q, k, v: _sdpa(q, k, v, scale, None))
-            flash = jax.jit(lambda q, k, v: flash_attention(
+            # chained scans: ITERS back-to-back applications per dispatch,
+            # so tunnel RPC jitter is amortized 1/ITERS per call
+            ITERS = 20
+            dense = chained(lambda k, v, q: _sdpa(q, k, v, scale, None),
+                            ITERS)
+            flash = chained(lambda k, v, q: flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), scale=scale).transpose(0, 2, 1, 3))
+                v.transpose(0, 2, 1, 3), scale=scale).transpose(0, 2, 1, 3),
+                ITERS)
+            # bare kernel: inputs already (B, H, L, D) — isolates the
+            # XLA transpose cost around the kernel from the kernel itself
+            qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+            bare = chained(lambda k, v, q: flash_attention(
+                q, k, v, scale=scale), ITERS)
 
             row = {"metric": "flash_serve", "b": b, "h": h, "seq": seq,
                    "d": d, "dtype": opt.dtype,
                    "score_mib": round(b * h * seq * seq * 2 / 2**20, 1)}
-            for name, fn in (("dense", dense), ("flash", flash)):
+            for name, fn, ops in (("dense", dense, (k, v, q)),
+                                  ("flash", flash, (k, v, q)),
+                                  ("bare", bare, (kt, vt, qt))):
                 t0 = time.time()
-                float(jnp.sum(fn(q, k, v)))
+                float(jnp.sum(fn(*ops)))
                 row[f"compile_{name}_s"] = round(time.time() - t0, 1)
                 row[f"{name}_ms"] = round(1e3 * slope_time(
-                    lambda a: fn(a, k, v), (q,), n=10), 3)
+                    lambda a: fn(ops[0], ops[1], a), (ops[2],), n=7) / ITERS,
+                    3)
             row["flash_speedup"] = (
                 round(row["dense_ms"] / row["flash_ms"], 3)
                 if row["flash_ms"] > 0 else None)
