@@ -432,6 +432,41 @@ def melclf_from_torch(sd: Dict[str, Array], cfg=None) -> dict:
         "features": feats, "fc1": _lin(0), "fc2": _lin(2), "fc3": _lin(4)})
 
 
+def melception_from_torch(sd: Dict[str, Array]) -> dict:
+    """Melception (vggishish/train_melception.py:20-34) — a torchvision
+    Inception3 with a 1-channel stem and maxpools removed. The jax pytree
+    (models/melception.py) mirrors torchvision's module names, so the
+    import is a mechanical walk: `<path>.conv.weight` -> conv.w,
+    `<path>.bn.{weight,bias,running_mean,running_var}` -> bn.{weight,bias,
+    mean,var} (eval-mode constants), `fc.weight` transposed to (in, out)."""
+    import jax
+    ren = {"weight": "weight", "bias": "bias",
+           "running_mean": "mean", "running_var": "var"}
+    out: dict = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        leaf, parent = parts[-1], parts[-2] if len(parts) > 1 else ""
+        node = out
+        if parent in ("conv", "bn"):
+            for p in parts[:-2]:
+                node = node.setdefault(p, {})
+            if parent == "conv":
+                node.setdefault("conv", {})["w"] = v
+            else:
+                node.setdefault("bn", {})[ren[leaf]] = v
+        elif parent == "fc" or leaf in ("weight", "bias"):
+            # fc.weight / AuxLogits.fc.weight (Linear): transpose to (in, out)
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node["w" if leaf == "weight" else "b"] = (
+                v.T if leaf == "weight" else v)
+        else:
+            raise KeyError(f"unrecognized melception key: {k}")
+    return jax.tree.map(jnp.asarray, out)
+
+
 # ---------------------------------------------------------------------------
 # Cond stage (FrozenCLAPFLANEmbedder)
 # ---------------------------------------------------------------------------

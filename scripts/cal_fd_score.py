@@ -31,6 +31,11 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--num_classes", type=int, default=309)
     p.add_argument("--small", action="store_true")
+    p.add_argument("--backbone", default="vggishish",
+                   choices=["vggishish", "melception"],
+                   help="melception = the Inception3-for-mel backbone the "
+                        "published audio-FID numbers use "
+                        "(train_melception.py:20-34); 2048-d features")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -39,21 +44,47 @@ def main():
                                         kl_divergence_softmax)
     from maa3_tpu.native.io import NativeLoader
 
-    conv = ((16, "MP", 32, "MP", 64, "MP") if opt.small
-            else MelClfConfig().conv_layers)
-    cfg = MelClfConfig(conv_layers=conv, num_classes=opt.num_classes)
-    params = melclf_init(jax.random.PRNGKey(0), cfg)
-    if opt.clf_ckpt:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(opt.clf_ckpt), target={"params": params})
-        params = restored["params"]
+    if opt.backbone == "melception":
+        from maa3_tpu.models.melception import (MelceptionConfig,
+                                                melception_init,
+                                                melception_apply)
+        mcfg = MelceptionConfig(num_classes=opt.num_classes)
+        params = melception_init(jax.random.PRNGKey(0), mcfg)
+        if opt.clf_ckpt.endswith((".pt", ".pth", ".ckpt")):
+            # a torchvision-based melception checkpoint (e.g. the public
+            # melception-21-05-10T09-28-40.pt): key-for-key torch import
+            import torch
+            from maa3_tpu.torch_import import melception_from_torch
+            sd = torch.load(opt.clf_ckpt, map_location="cpu",
+                            weights_only=False)
+            sd = sd.get("model", sd.get("state_dict", sd))
+            params = melception_from_torch(
+                {k: np.asarray(v) for k, v in sd.items()})
+        elif opt.clf_ckpt:
+            import orbax.checkpoint as ocp
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(opt.clf_ckpt), target={"params": params})
+            params = restored["params"]
+        else:
+            print("WARNING: random classifier (relative numbers only)")
+        apply_fn = jax.jit(lambda m: melception_apply(
+            params, mcfg, m, return_features=True))
     else:
-        print("WARNING: random classifier (relative numbers only)")
+        conv = ((16, "MP", 32, "MP", 64, "MP") if opt.small
+                else MelClfConfig().conv_layers)
+        cfg = MelClfConfig(conv_layers=conv, num_classes=opt.num_classes)
+        params = melclf_init(jax.random.PRNGKey(0), cfg)
+        if opt.clf_ckpt:
+            import orbax.checkpoint as ocp
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(opt.clf_ckpt), target={"params": params})
+            params = restored["params"]
+        else:
+            print("WARNING: random classifier (relative numbers only)")
+        apply_fn = jax.jit(lambda m: melclf_apply(params, cfg, m,
+                                                  return_embedding=True))
 
     loader = NativeLoader(rows=80)
-    apply_fn = jax.jit(lambda m: melclf_apply(params, cfg, m,
-                                              return_embedding=True))
 
     def embed_dir(d):
         paths = sorted(glob.glob(os.path.join(d, "*.npy")))

@@ -164,6 +164,23 @@ def test_melclf_parity():
     assert r["embedding"]["rel_mae"] < 1e-4, r["embedding"]
 
 
+def test_melception_parity():
+    """Melception (Inception3-for-mel FID backbone, train_melception.py:20-34)
+    at the real 309-class config vs the executed torch reference — logits,
+    the 2048-d FD feature, and the InceptionAux head."""
+    path = os.path.join(REPO, "PARITY_MELCEPTION_REF.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_MELCEPTION_REF.json not generated — "
+                    "run scripts/melception_reference_parity.py")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["_meta"]["num_classes"] == 309
+    assert r["params_m"] > 20  # the real ~25M Inception3
+    for k in ("logits", "fd_features_2048d", "aux_logits"):
+        assert r[k]["rel_mae"] < 1e-5, (k, r[k])
+        assert r[k]["rel_max"] < 1e-4, (k, r[k])
+
+
 def test_lpaps_parity():
     """LPAPS perceptual metric vs the executed reference class — the final
     distance and all 5 VGG tap activations (scaling layer + bn-less
