@@ -33,34 +33,65 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def quantize_weight_int8(w: Array) -> dict:
+def quantize_weight_int8(w: Array, group_size: int = 0) -> dict:
     """Per-output-channel symmetric int8 quantization of a (..., in, out)
     matmul weight (leading dims, e.g. the stacked-depth axis, are preserved;
-    `lax.scan` slices them per block). Returns {"w_q", "w_scale"}."""
+    `lax.scan` slices them per block). Returns {"w_q", "w_scale"}.
+
+    group_size > 0 refines the scales per contiguous group of `group_size`
+    input channels: w_q (..., G, gs, out) with w_scale (..., G, out). The
+    grouped layout drives the G-batched int8 dot in dense_w8a8 (activations
+    are then also quantized per (token, group), so BOTH quantization error
+    sources shrink ~sqrt(in/gs) in the usual iid model)."""
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)        # (..., 1, out)
+    if group_size:
+        d_in = wf.shape[-2]
+        assert d_in % group_size == 0, (d_in, group_size)
+        g = d_in // group_size
+        wf = wf.reshape(wf.shape[:-2] + (g, group_size, wf.shape[-1]))
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)     # (..., [G,] 1, out)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"w_q": w_q, "w_scale": jnp.squeeze(scale, axis=-2)}  # (..., out)
+    return {"w_q": w_q, "w_scale": jnp.squeeze(scale, axis=-2)}
 
 
 def dense_w8a8(params: dict, x: Array, compute_dtype=None) -> Array:
-    """y = dequant(quant(x) @ w_q). x: (..., in); w_q: (in, out) int8.
+    """y = dequant(quant(x) @ w_q). x: (..., in); w_q: (in, out) int8, or
+    (G, gs, out) for the per-group layout (quantize_weight_int8 group_size).
 
-    Activations are quantized per token (max-abs over the feature axis,
-    symmetric) at trace time — no calibration pass. The int8 x int8 matmul
-    accumulates in int32 on the MXU; the two rank-1 scale vectors are applied
-    to the int32 result in fp32.
+    Activations are quantized per token — per (token, group) in the grouped
+    layout — max-abs symmetric at trace time, no calibration pass. The int8 x
+    int8 matmul accumulates in int32 on the MXU; scale vectors are applied to
+    the int32 result in fp32. The grouped path runs ONE G-batched int8 dot
+    and contracts the (G, ..., out) partials in fp32.
     """
+    w_q = params["w_q"]
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)          # (..., 1)
-    sx = jnp.maximum(amax, 1e-12) / 127.0
-    x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        x_q, params["w_q"],
-        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * sx * params["w_scale"].astype(jnp.float32)
+    if w_q.ndim == 3:                       # grouped: (G, gs, out)
+        g, gs, out = w_q.shape
+        xg = xf.reshape(xf.shape[:-1] + (g, gs))
+        amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)   # (..., G, 1)
+        sx = jnp.maximum(amax, 1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(             # batch over G -> (G, ..., out)
+            x_q, w_q,
+            dimension_numbers=(((x_q.ndim - 1,), (1,)),
+                               ((x_q.ndim - 2,), (0,))),
+            preferred_element_type=jnp.int32)
+        sxg = jnp.moveaxis(jnp.squeeze(sx, -1), -1, 0)        # (G, ...)
+        ws = params["w_scale"].astype(jnp.float32)            # (G, out)
+        ws = ws.reshape((g,) + (1,) * (x.ndim - 1) + (out,))
+        y = jnp.sum(acc.astype(jnp.float32) * sxg[..., None] * ws, axis=0)
+    else:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)      # (..., 1)
+        sx = jnp.maximum(amax, 1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q, w_q,
+            dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * sx
+             * params["w_scale"].astype(jnp.float32))
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     if compute_dtype is not None:
@@ -68,7 +99,8 @@ def dense_w8a8(params: dict, x: Array, compute_dtype=None) -> Array:
     return y
 
 
-def quantize_dit_serving(dit_params: dict) -> dict:
+def quantize_dit_serving(dit_params: dict, group_size: int = 0,
+                         skip_w2: bool = False) -> dict:
     """Quantize the per-ODE-step fat GEMMs of a DiT param tree to int8:
     the qkv and SwiGLU projections plus w2 — in either layout (fused wqkv/
     w13 from utils.nprand.fuse_dit_gemms, or the canonical unfused names —
@@ -77,18 +109,26 @@ def quantize_dit_serving(dit_params: dict) -> dict:
     else (wo — measured slower under dynamic quant at its 1152x1152
     shape — plus all hoisted/one-time GEMMs, norms, gates) is left
     untouched. Works on the stacked-depth pytree; apply BEFORE
-    cast_matmul_weights so scales come from fp32."""
+    cast_matmul_weights so scales come from fp32.
+
+    group_size > 0 selects per-group weight + per-(token, group) activation
+    scales (see quantize_weight_int8) — single-chip serving only (the grouped
+    axis is not covered by the TP shard specs). skip_w2 leaves the FFN
+    down-projection in bf16: w2's input is the SwiGLU product, the widest-
+    dynamic-range activation in the block, so it dominates the a8 error while
+    carrying only ~1/5 of the per-step GEMM FLOPs."""
     p = dict(dit_params)
     blocks = dict(p["blocks"])
     att = dict(blocks["attention"])
     for k in ("wqkv",) if "wqkv" in att else ("wq", "wk", "wv"):
-        att[k] = quantize_weight_int8(att[k]["w"])
+        att[k] = quantize_weight_int8(att[k]["w"], group_size)
     blocks["attention"] = att
     ffn = dict(blocks["feed_forward"])
     if "w13" in ffn or "w1" in ffn:  # dense SwiGLU; MoE experts stay float
         for k in ("w13",) if "w13" in ffn else ("w1", "w3"):
-            ffn[k] = quantize_weight_int8(ffn[k]["w"])
-        ffn["w2"] = quantize_weight_int8(ffn["w2"]["w"])
+            ffn[k] = quantize_weight_int8(ffn[k]["w"], group_size)
+        if not skip_w2:
+            ffn["w2"] = quantize_weight_int8(ffn["w2"]["w"], group_size)
         blocks["feed_forward"] = ffn
     p["blocks"] = blocks
     return p

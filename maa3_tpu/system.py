@@ -39,6 +39,23 @@ from maa3_tpu import torch_import
 Array = jax.Array
 
 
+def _parse_quant_mode(mode: str):
+    """ "int8[:g<N>][,now2]" -> (group_size, skip_w2). Raises on anything
+    else so typos fail at set_serving_quant time, not inside a compile."""
+    base, _, opts = mode.partition(":")
+    if base != "int8":
+        raise ValueError(f"unknown serving quant mode: {mode!r}")
+    group, skip_w2 = 0, False
+    for o in filter(None, opts.split(",")):
+        if o.startswith("g") and o[1:].isdigit():
+            group = int(o[1:])
+        elif o == "now2":
+            skip_w2 = True
+        else:
+            raise ValueError(f"unknown int8 variant option: {o!r} in {mode!r}")
+    return group, skip_w2
+
+
 class MAA3System:
     def __init__(self, spec: ModelSpec, params: dict,
                  voc_cfg: Optional[BigVGANConfig] = None,
@@ -238,16 +255,18 @@ class MAA3System:
             # specs shard each projection cleanly
             tp = (self._serving_mesh is not None
                   and self._serving_mesh.shape.get("model", 1) > 1)
-            if self.serve_quant == "int8":
+            if self.serve_quant:
                 # fuse (single-chip only) from fp32, quantize the hot
                 # per-step GEMMs from fp32 (scales off the canonical
                 # weights, not a bf16 recast), then cast the rest to bf16.
                 from maa3_tpu.ops.quant import quantize_dit_serving
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
+                group, skip_w2 = _parse_quant_mode(self.serve_quant)
                 if not tp and "wq" in p["blocks"]["attention"]:
                     p = fuse_dit_gemms(p)
-                p = quantize_dit_serving(p)
+                p = quantize_dit_serving(p, group_size=group,
+                                         skip_w2=skip_w2)
                 p = cast_matmul_weights(p, jnp.bfloat16)
             elif self.compute_dtype == jnp.bfloat16:
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
@@ -284,9 +303,12 @@ class MAA3System:
         """Select the serving quantization mode: None (bf16/fp32 per
         compute_dtype) or "int8" (w8a8 on the per-step DiT GEMMs — ~1.7x
         faster ODE steps on v5e, small extra drift; see ops/quant.py).
-        Invalidates the cached serving copy."""
-        if mode not in (None, "int8"):
-            raise ValueError(f"unknown serving quant mode: {mode!r}")
+        Variant suffixes after ':' (comma-separated) trade speed for drift:
+        "int8:g128" per-group-128 weight + per-(token,group) activation
+        scales (single-chip only), "int8:now2" keeps the FFN down-projection
+        bf16, "int8:g128,now2" both. Invalidates the cached serving copy."""
+        if mode is not None:
+            _parse_quant_mode(mode)  # validate eagerly
         self.serve_quant = mode
         self._serving_dit = None
 

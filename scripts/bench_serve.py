@@ -47,8 +47,16 @@ def parse_args():
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--window_ms", type=float, default=30.0)
-    p.add_argument("--fp32", action="store_true")
-    p.add_argument("--quant", type=str, default="", choices=["", "int8"])
+    p.add_argument("--fp32", action="store_true",
+                   help="deprecated alias for --precision fp32")
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["bf16", "fp32", "fp32_highest"],
+                   help="serving numerics (see scripts/serve.py --precision)")
+    p.add_argument("--quant", type=str, default="",
+                   help="int8 | int8:g128 | int8:now2 | int8:g128,now2")
+    p.add_argument("--out", type=str, default="",
+                   help="append the result JSON line to this file "
+                        "(per-mode artifact, e.g. BENCH_SERVE_r03.json)")
     return p.parse_args()
 
 
@@ -62,8 +70,14 @@ def main():
     cfg_paths = [c for c in opt.base.split(",") if c] or [
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "txt2audio-cfm-cfg.yaml")]
+    precision = "fp32" if opt.fp32 else opt.precision
+    if opt.quant and precision != "bf16":
+        sys.exit("--quant int8 composes with --precision bf16 only")
+    if precision == "fp32_highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
     system = MAA3System.from_config(
-        cfg_paths, compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16)
+        cfg_paths,
+        compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
     if opt.quant:
         system.set_serving_quant(opt.quant)
 
@@ -129,9 +143,12 @@ def main():
         "request_p95_s": round(latencies[int(len(latencies) * 0.95)], 4),
         "served_total": stats["served"] - warm_served,
         "batch_histogram": hist,
-        "quant": opt.quant or ("fp32" if opt.fp32 else "bf16"),
+        "mode": opt.quant or precision,
     }
     print(json.dumps(out), flush=True)
+    if opt.out:
+        with open(opt.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
     server.shutdown()
 
 

@@ -46,9 +46,17 @@ def parse_args():
     p.add_argument("--vocoder-ckpt", type=str, default="")
     p.add_argument("--tokenizer_dir", type=str, default="")
     p.add_argument("--fp32", action="store_true",
-                   help="serve the DiT in fp32 (parity mode)")
-    p.add_argument("--quant", type=str, default="", choices=["", "int8"],
-                   help="int8 w8a8 per-step DiT GEMMs (~19%% faster ODE)")
+                   help="deprecated alias for --precision fp32")
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["bf16", "fp32", "fp32_highest"],
+                   help="serving numerics: bf16 fast mode (default), fp32 "
+                        "parity mode (TPU-default matmuls: bf16 MXU passes "
+                        "with fp32 accumulation), or fp32_highest (6-pass "
+                        "fp32 matmul emulation — the mode that reproduces "
+                        "reference fp32 math bit-closely, ~4x slower)")
+    p.add_argument("--quant", type=str, default="",
+                   help="int8 w8a8 per-step DiT GEMMs (~19%% faster ODE); "
+                        "composes with --precision bf16 only")
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel serving over n_model chips")
     p.add_argument("--steps", type=int, default=25)
@@ -74,10 +82,15 @@ def main():
                      "configs", "txt2audio-cfm-cfg.yaml")]
     if opt.tokenizer_dir:
         os.environ["MAA3_TOKENIZER_DIR"] = opt.tokenizer_dir
+    precision = "fp32" if opt.fp32 else opt.precision
+    if opt.quant and precision != "bf16":
+        sys.exit("--quant int8 composes with --precision bf16 only")
+    if precision == "fp32_highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
     system = MAA3System.from_config(
         cfg_paths, ckpt_path=opt.resume or None,
         vocoder_dir=opt.vocoder_ckpt or None, seed=opt.seed,
-        compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16)
+        compute_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
     if opt.n_model > 1:
         from maa3_tpu.parallel.mesh import make_mesh
         system.shard_serving(make_mesh(n_model=opt.n_model))

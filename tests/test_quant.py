@@ -48,6 +48,71 @@ def test_dense_w8a8_approximates_dense():
     assert rel < 0.02, f"w8a8 rel err {rel:.4f}"
 
 
+def test_grouped_quant_layout_and_error():
+    """group_size splits the in-axis: (G, gs, out) weights with (G, out)
+    scales, and the grouped path must be strictly MORE accurate than the
+    ungrouped one on the same data (finer scales on both sides)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 128)), jnp.float32)
+    # heavy-tailed weights: per-group scales matter
+    w = jnp.asarray(rng.standard_t(df=3, size=(128, 64)), jnp.float32)
+    exact = np.asarray(dense({"w": w}, x))
+    q_flat = quantize_weight_int8(w)
+    q_grp = quantize_weight_int8(w, group_size=32)
+    assert q_grp["w_q"].shape == (4, 32, 64)
+    assert q_grp["w_scale"].shape == (4, 64)
+    err_flat = np.abs(np.asarray(dense_w8a8(q_flat, x)) - exact).mean()
+    err_grp = np.abs(np.asarray(dense_w8a8(q_grp, x)) - exact).mean()
+    assert err_grp < err_flat, (err_grp, err_flat)
+    # grouped dequant reconstructs w within each group's scale/2
+    deq = (np.asarray(q_grp["w_q"], np.float32)
+           * np.asarray(q_grp["w_scale"])[:, None, :]).reshape(128, 64)
+    assert np.abs(deq - np.asarray(w)).max() <= float(
+        np.abs(np.asarray(w)).max()) / 127 * 0.51
+
+
+def test_grouped_quant_stacked_depth_axis():
+    w = jnp.asarray(np.random.default_rng(8).normal(size=(3, 64, 8)),
+                    jnp.float32)
+    q = quantize_weight_int8(w, group_size=16)
+    assert q["w_q"].shape == (3, 4, 16, 8)
+    assert q["w_scale"].shape == (3, 4, 8)
+    q1 = quantize_weight_int8(w[1], group_size=16)
+    np.testing.assert_array_equal(np.asarray(q["w_q"][1]),
+                                  np.asarray(q1["w_q"]))
+
+
+def test_quantize_dit_serving_variants():
+    """int8 variant knobs: skip_w2 leaves the down-projection float;
+    group_size produces grouped tensors at every quantized site."""
+    from maa3_tpu.models.dit import DiTConfig, dit_init
+    from maa3_tpu.utils.nprand import fuse_dit_gemms
+
+    cfg = DiTConfig(in_channels=4, context_dim=16, hidden_size=64, depth=2,
+                    num_heads=2, max_len=32)
+    params = fuse_dit_gemms(dit_init(jax.random.PRNGKey(5), cfg))
+    q = quantize_dit_serving(params, skip_w2=True)
+    assert "w" in q["blocks"]["feed_forward"]["w2"]          # stays float
+    assert q["blocks"]["feed_forward"]["w13"]["w_q"].dtype == jnp.int8
+    qg = quantize_dit_serving(params, group_size=32)
+    # stacked depth 2, hidden 64 -> wqkv w_q (2, G=2, 32, out)
+    assert qg["blocks"]["attention"]["wqkv"]["w_q"].shape[:3] == (2, 2, 32)
+
+
+def test_system_quant_mode_variants():
+    from maa3_tpu.system import _parse_quant_mode
+    assert _parse_quant_mode("int8") == (0, False)
+    assert _parse_quant_mode("int8:g128") == (128, False)
+    assert _parse_quant_mode("int8:now2") == (0, True)
+    assert _parse_quant_mode("int8:g64,now2") == (64, True)
+    for bad in ("int4", "int8:g", "int8:xyz"):
+        try:
+            _parse_quant_mode(bad)
+            assert False, bad
+        except ValueError:
+            pass
+
+
 def test_dense_dispatches_on_quantized_params():
     """dense() must route a {"w_q","w_scale"} dict to the int8 path so call
     sites (attention/ffn) stay mode-agnostic."""
