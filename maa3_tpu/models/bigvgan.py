@@ -201,8 +201,11 @@ def _resolve_unfold_cutoff() -> int:
 
 
 # Unfold materializes a (B, k*C, T) im2col buffer; beyond ~256 MB the win
-# turns into an HBM/compile hazard (measured at b1 the buffer is <100 MB,
-# and at batch >= 4 the narrow stages ride the Pallas fused path anyway).
+# turns into an HBM/compile hazard (a 675 MB k=11 b8 buffer produced a
+# 40+ min remote compile). Batches whose whole-batch buffer exceeds the cap
+# are processed in lax.map chunks small enough to fit — the per-chunk GEMM
+# (T >= 20k on every narrow stage) is already MXU-saturating, so chunking
+# costs only the scan glue.
 _UNFOLD_MAX_BYTES = 256 * 1024 * 1024
 
 
@@ -210,11 +213,22 @@ def _conv_site(p: dict, x: Array, k: int, d: int, compute_dtype,
                unfold_cutoff: int) -> Array:
     """One stride-1 resblock conv, routed by channel width."""
     pad = _get_padding(k, d)
-    itemsize = jnp.dtype(compute_dtype or x.dtype).itemsize
-    cols_bytes = x.shape[0] * k * x.shape[1] * x.shape[2] * itemsize
-    if x.shape[1] <= unfold_cutoff and cols_bytes <= _UNFOLD_MAX_BYTES:
-        return conv1d_unfold(p, x, padding=pad, dilation=d,
-                             compute_dtype=compute_dtype)
+    if x.shape[1] <= unfold_cutoff:
+        itemsize = jnp.dtype(compute_dtype or x.dtype).itemsize
+        per_sample = k * x.shape[1] * x.shape[2] * itemsize
+        if per_sample <= _UNFOLD_MAX_BYTES:
+            b = x.shape[0]
+            bchunk = min(b, max(1, _UNFOLD_MAX_BYTES // per_sample))
+            while b % bchunk:
+                bchunk -= 1
+            if bchunk == b:
+                return conv1d_unfold(p, x, padding=pad, dilation=d,
+                                     compute_dtype=compute_dtype)
+            xc = x.reshape(b // bchunk, bchunk, x.shape[1], x.shape[2])
+            y = jax.lax.map(
+                lambda z: conv1d_unfold(p, z, padding=pad, dilation=d,
+                                        compute_dtype=compute_dtype), xc)
+            return y.reshape(b, y.shape[2], y.shape[3])
     return conv1d(p, x, padding=pad, dilation=d, compute_dtype=compute_dtype)
 
 

@@ -112,16 +112,24 @@ def main():
             base16, dit_cfg=dataclasses.replace(dit, fp32_scores=True,
                                                 fp32_residual=True)),
     }
-    # int8 (w8a8) turbo mode: per-step GEMMs quantized (ops/quant.py),
-    # fp32 residual carry as in the serving default
+    # int8 (w8a8) turbo modes: per-step GEMMs quantized (ops/quant.py),
+    # fp32 residual carry as in the serving default. Variants sweep the two
+    # drift levers set_serving_quant exposes: per-group-128 weight +
+    # per-(token, group) activation scales, and keeping w2 (the SwiGLU
+    # down-projection, whose input has the widest dynamic range) in bf16.
     from maa3_tpu.ops.quant import quantize_dit_serving
-    params8 = dict(pipe32.params)
-    params8["dit"] = cast_matmul_weights(
-        quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"])),
-        jnp.bfloat16)
-    modes["int8+fp32_residual"] = dataclasses.replace(
-        base16, params=params8,
-        dit_cfg=dataclasses.replace(dit, fp32_residual=True))
+    gs = 32 if small else 128
+    for tag, kw in (("", {}),
+                    (f":g{gs}", {"group_size": gs}),
+                    (":now2", {"skip_w2": True}),
+                    (f":g{gs},now2", {"group_size": gs, "skip_w2": True})):
+        params8 = dict(pipe32.params)
+        params8["dit"] = cast_matmul_weights(
+            quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"]), **kw),
+            jnp.bfloat16)
+        modes[f"int8{tag}+fp32_residual"] = dataclasses.replace(
+            base16, params=params8,
+            dit_cfg=dataclasses.replace(dit, fp32_residual=True))
 
     out = {"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
            "latent_rms": float(np.sqrt((z32 ** 2).mean()))}
@@ -134,6 +142,7 @@ def main():
     }
     print(json.dumps({"fp32_default_vs_highest":
                       out["fp32_default_vs_highest"]}), flush=True)
+    mel_bf16 = None
     for name, pipe in modes.items():
         z16, mel16, wav16 = gen(pipe)
         row = {
@@ -142,6 +151,12 @@ def main():
             "wav_mae": float(np.abs(wav32 - wav16).mean()),
             "p50_s": round(p50(pipe), 4),
         }
+        if name == "bf16":
+            mel_bf16 = mel16
+        if name.startswith("int8") and mel_bf16 is not None:
+            # the headline int8 drift metric: extra error over the bf16
+            # fast mode (BENCH mel_mae_int8_vs_bf16)
+            row["mel_mae_vs_bf16"] = float(np.abs(mel_bf16 - mel16).mean())
         out[name] = row
         print(json.dumps({name: row}), flush=True)
     out["fp32_p50_s"] = round(p50(pipe32), 4)

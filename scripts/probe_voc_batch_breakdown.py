@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""BigVGAN per-stage device-time breakdown at batch >= 4 (the serving
+throughput shape), A/B-ing three narrow-stage routings per stage:
+
+  fused  — the current batch>=4 auto: Pallas act->conv kernel on C<=192
+           stages + Pallas one-pass AA-snake on wide stages
+  unfold — the b1-winning path extended to batches: XLA AA-snake (poly
+           sin^2 under bf16) + chunked unfold-GEMM convs (models/bigvgan.py
+           _conv_site caps each lax.map chunk's im2col at 256 MB)
+  xla    — stock lax.conv + XLA AA-snake (the no-tricks floor)
+
+The b8 vocoder is ~30 % of batched serving time (VERDICT weak #3); this
+probe decides the per-stage routing that replaces the single batch>=4 gate.
+Each stage is chained ITERS times inside one jitted lax.scan and timed by
+the 1-vs-3 program slope (cancels the ~30 ms axon RPC).
+
+Usage: python scripts/probe_voc_batch_breakdown.py [--batch 8] [--routes ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+import jax
+
+if os.environ.get("MAA3_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MAA3_PLATFORM"])
+
+import jax.numpy as jnp
+
+from maa3_tpu.utils import enable_compile_cache
+
+if jax.default_backend() != "cpu":
+    enable_compile_cache()
+
+from maa3_tpu.models.bigvgan import (BigVGANConfig, bigvgan_init, _make_aa,
+                                     _amp1_apply, _conv_site)
+from maa3_tpu.ops.conv import conv1d, conv_transpose1d_polyphase
+
+ITERS = int(os.environ.get("MAA3_ITERS", "4"))
+
+# (use_pallas, fused_cutoff, unfold_cutoff) per route
+ROUTES = {
+    "fused": (True, 192, 0),
+    "unfold": (False, 0, 192),
+    "xla": (False, 0, 0),
+}
+
+
+def program_time(fn, args, n=5):
+    def run_k(k):
+        out = None
+        for _ in range(k):
+            out = fn(*args)
+        return float(jnp.sum(out))
+
+    run_k(3)
+    t1s, t3s = [], []
+    for _ in range(n):
+        t0 = time.perf_counter(); run_k(1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run_k(3); t3s.append(time.perf_counter() - t0)
+    t1s.sort(); t3s.sort()
+    return max((t3s[len(t3s) // 2] - t1s[len(t1s) // 2]) / 2.0, 0.0)
+
+
+def chained_same_shape(apply_fn):
+    # params are an explicit jit argument — closing over them would bake
+    # the weights into the program
+    @jax.jit
+    def run(p, x):
+        def body(c, _):
+            o = apply_fn(p, c)
+            return o.astype(c.dtype), None
+        c, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return c
+    return run
+
+
+def chained_scalar_dep(apply_fn):
+    @jax.jit
+    def run(p, x):
+        def body(c, _):
+            o = apply_fn(p, x * (1.0 + 1e-9 * c))
+            return jnp.mean(o).astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return c
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--routes", type=str, default="fused,unfold")
+    ap.add_argument("--stages", type=str, default="0,1,2,3,4,5")
+    opt = ap.parse_args()
+    routes = [r for r in opt.routes.split(",") if r]
+    stages = {int(s) for s in opt.stages.split(",")}
+
+    key = jax.random.PRNGKey(0)
+    cfg = BigVGANConfig()
+    params = bigvgan_init(key, cfg)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    DT = jnp.bfloat16
+    B = opt.batch
+
+    res = {"iters": ITERS, "batch": B}
+    ch = cfg.upsample_initial_channel
+    t_len = 624
+    totals = {r: 0.0 for r in routes}
+
+    # conv_pre (80 -> 1536, k7) — one routing, always wide
+    x = jax.random.normal(key, (B, cfg.num_mels, t_len), jnp.float32)
+    t = program_time(chained_scalar_dep(
+        lambda p, z: conv1d(p, z, padding=3, compute_dtype=DT)),
+        (params["conv_pre"], x)) / ITERS
+    res["conv_pre_ms"] = round(t * 1e3, 2)
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                   cfg.upsample_kernel_sizes)):
+        cin, cout = ch // (2 ** i), ch // (2 ** (i + 1))
+        if i in stages:
+            x = jax.random.normal(key, (B, cin, t_len), jnp.float32)
+            t = program_time(chained_scalar_dep(
+                lambda p, z, u=u, k=k: conv_transpose1d_polyphase(
+                    p, z, stride=u, padding=(k - u) // 2,
+                    compute_dtype=DT)),
+                (params["ups"][i], x)) / ITERS
+            res[f"up{i}_ms"] = round(t * 1e3, 2)
+        t_len *= u
+        if i not in stages:
+            continue
+
+        y = jax.random.normal(key, (B, cout, t_len), jnp.float32)
+        rbs = [params["resblocks"][i * num_kernels + j]
+               for j in range(num_kernels)]
+
+        for route in routes:
+            up, fc, uc = ROUTES[route]
+
+            def stage(rbl, z, up=up, fc=fc, uc=uc):
+                acc = None
+                for j in range(num_kernels):
+                    kk = cfg.resblock_kernel_sizes[j]
+                    dd = cfg.resblock_dilation_sizes[j]
+                    o = _amp1_apply(rbl[j], z, kk, dd, cfg, DT, up, fc, uc)
+                    acc = o if acc is None else acc + o
+                return acc / num_kernels
+
+            t = program_time(chained_same_shape(stage), (rbs, y)) / ITERS
+            res[f"res{i}_{route}_ms"] = round(t * 1e3, 2)
+            totals[route] += t
+        res[f"res{i}_shape"] = [cout, t_len]
+        print(json.dumps(res), flush=True)
+
+    for r in routes:
+        res[f"res_sum_{r}_ms"] = round(totals[r] * 1e3, 2)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

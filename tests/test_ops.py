@@ -113,6 +113,28 @@ def test_bigvgan_unfold_routing_matches_default(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv_site_batch_chunked_unfold(monkeypatch):
+    """When the whole-batch im2col buffer exceeds _UNFOLD_MAX_BYTES but one
+    sample's fits, _conv_site must lax.map over batch chunks and still equal
+    the stock lax.conv path (the batched-serving vocoder route)."""
+    from maa3_tpu.models import bigvgan as bv
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(8, 24, 64).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(24, 24, 11).astype(np.float32)),
+         "b": jnp.asarray(rng.randn(24).astype(np.float32))}
+    base = conv.conv1d(p, x, padding=25, dilation=5)
+    # one sample's buffer = 11*24*64*4 = 67.6 kB; cap at 3 samples' worth
+    monkeypatch.setattr(bv, "_UNFOLD_MAX_BYTES", 3 * 11 * 24 * 64 * 4)
+    out = bv._conv_site(p, x, k=11, d=5, compute_dtype=None, unfold_cutoff=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)
+    # cap below one sample -> falls back to lax.conv (still correct)
+    monkeypatch.setattr(bv, "_UNFOLD_MAX_BYTES", 100)
+    out2 = bv._conv_site(p, x, k=11, d=5, compute_dtype=None, unfold_cutoff=64)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_conv1d_unfold_gradients_match_conv1d():
     """Vocoder-GAN training on TPU can route through the unfold lowering —
     its autodiff grads must equal lax.conv's (w, b, and input grads)."""
