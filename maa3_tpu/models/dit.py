@@ -55,14 +55,18 @@ class DiTConfig:
     rope_scaling_factor: float = 1.0
     ntk_factor: float = 1.0
     # Pallas flash-attention: None = auto (kernel when seq > 4096);
-    # True/False = force. The threshold is MEMORY-motivated, not speed:
-    # measured on v5e (PROBE_FLASH_TRAIN.json), XLA dense attention is still
-    # ~2x faster for a train grad at seq 2048 (head_dim 64/72 pads to the
-    # 128-lane MXU width, wasting half the array in the kernel), but its
-    # O(L^2) score buffers grow past the HBM budget around 4-8k (analytic:
-    # one B*H*L^2 bf16 score set is 2.1 GiB at L=8192/B2/H8 and the dense
-    # backward keeps several alive) — where the O(L)-memory kernel (fwd AND
-    # bwd, ops/flash_attention.py) is the only viable route.
+    # True/False = force. After the grouped rewrite the kernel's FORWARD
+    # beats XLA dense 1.5-2.3x from seq 624 up (PROBE_FLASH_SERVE.json), but
+    # the auto threshold stays MEMORY-motivated: the backward still trails
+    # dense 0.64-0.9x through seq 4096 (PROBE_FLASH_TRAIN.json — dq/dk/dv
+    # recompute scores twice while XLA's dense bwd is already flash-
+    # scheduled), and at the production seq 312 the isolated op is ~0.1 ms,
+    # so the pallas_call fusion barrier costs more end-to-end than the
+    # kernel saves (PROBE_FLASH_E2E.json: forcing it ON loses throughput at
+    # every serving batch). Past seq ~4-8k dense's O(L^2) score buffers blow
+    # the HBM budget (one B*H*L^2 bf16 score set is 2.1 GiB at L=8192/B2/H8
+    # and the dense backward keeps several alive) — there the O(L)-memory
+    # kernel (fwd AND bwd, ops/flash_attention.py) is the only viable route.
     use_flash: "Optional[bool]" = None
     # bf16-serving drift levers (no effect in fp32 mode): keep the attention
     # score matrices in fp32 (the HBM cost only matters at batch >= 4), and
