@@ -40,9 +40,11 @@ def test_flash_path_matches_sdpa_long_context():
 def test_flash_auto_threshold():
     cfg = _mk(None)
     assert not cfg.flash_for_len(312)    # default 10 s clip: fused XLA attn
-    # dense XLA attention measured FASTER than the kernel through seq 2048
-    # on v5e (PROBE_FLASH_TRAIN.json: 20.3 vs 40.7 ms train grad) — flash
-    # auto-routes only where dense stops fitting memory
+    # the kernel's backward still trails XLA dense through seq 4096 on v5e
+    # (PROBE_FLASH_TRAIN.json: grad 21.0 vs 13.48 ms at 2048) and forcing it
+    # on end-to-end loses serving throughput at every batch
+    # (PROBE_FLASH_E2E.json) — flash auto-routes only where dense stops
+    # fitting memory
     assert not cfg.flash_for_len(2048)
     assert cfg.flash_for_len(5000)       # long-context: Pallas kernel
 
