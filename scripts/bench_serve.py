@@ -85,10 +85,19 @@ def main():
         max_batch=opt.max_batch, batch_window_ms=opt.window_ms,
         default_steps=opt.steps, default_scale=opt.scale))
     server.start()
-    print(f"[bench_serve] warmup buckets (1, {opt.max_batch})...",
+    # warm EVERY power-of-two bucket <= max_batch: with few concurrent
+    # clients the micro-batcher forms mid-size batches (e.g. 4 clients ->
+    # bucket 4), and a cold mid-bucket compile lands on a measured request
+    # (observed: 168 s p95 from one cold bucket-4 hit)
+    buckets, b = [], 1
+    while b < opt.max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(opt.max_batch)
+    print(f"[bench_serve] warmup buckets {tuple(buckets)}...",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    server.batcher.warmup((1, opt.max_batch), steps=opt.steps)
+    server.batcher.warmup(tuple(buckets), steps=opt.steps)
     print(f"[bench_serve] warm in {time.perf_counter() - t0:.1f}s; "
           f"firing {opt.requests} requests from {opt.clients} clients",
           file=sys.stderr, flush=True)
