@@ -153,6 +153,7 @@ def main():
         "served_total": stats["served"] - warm_served,
         "batch_histogram": hist,
         "mode": opt.quant or precision,
+        "config": os.path.basename(cfg_paths[0]),
     }
     print(json.dumps(out), flush=True)
     if opt.out:
