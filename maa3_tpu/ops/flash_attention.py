@@ -25,6 +25,10 @@ in-kernel fori_loop, sized to a VMEM budget. Further:
   emitting the per-row log-sum-exp. When the caller passes no mask it
   corrects for the zero-padded tail keys analytically on the row sums
   (O(Lq)) instead of an elementwise where (O(Lq·Lk))
+- the backward is a FUSED single pass by default: one score + do·v^T
+  computation feeds dv, dk and dq (the split two-kernel form recomputes
+  both and streams q/do/k/v twice), with dq accumulated in a full-length
+  fp32 output block; splits only when that block would blow VMEM
 - block sizes adapt with divisor-friendly picks (seq 624 pads to 624, not
   to 2x512); lse/delta ride in (BH, L, 1) layout so their blocks are always
   Mosaic-legal at any 16-aligned block_q
@@ -215,6 +219,62 @@ def _bwd_dkv_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
     def _finalize():
         dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
+                      k_ref, v_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float, nq: int, g: int, block_q: int):
+    """Single-pass backward: grid (BH/g, nk, nq), q innermost. ONE
+    score + dp computation feeds dv, dk AND dq — the split kernels above
+    each recompute both (7 (bq,bk)-sized matmuls per block pair vs 5 here)
+    and stream q/do/k/v from HBM twice. Accumulation strategy:
+    - dk/dv: fp32 OUTPUT blocks indexed by j only — for a fixed (gb, j)
+      all i-steps are contiguous in grid order, so the block stays resident
+      in VMEM across the accumulation and is flushed once
+    - dq: a full-length fp32 output block whose index map is constant per
+      gb (every step of the group maps to it); each (j, i) step adds its
+      ds·k contribution at the dynamic row offset i*block_q
+    Outputs are fp32 and cast to the input dtypes outside (XLA fuses)."""
+    jb = pl.program_id(1)
+    ib = pl.program_id(2)
+
+    @pl.when((jb == 0) & (ib == 0))
+    def _init_dq():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    @pl.when(ib == 0)
+    def _init_dkv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    def body(gi, _):
+        qs = _scale_q(q_ref[gi], scale)   # (bq, d), scaled by scale*log2e
+        do = do_ref[gi]                   # (bq, d)
+        k = k_ref[gi]                     # (bk, d)
+        v = v_ref[gi]
+        s2 = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        valid = mask_ref[gi] > 0          # (1, bk)
+        p = jnp.exp2(s2 - lse_ref[gi] * _LOG2E)
+        p = jnp.where(valid, p, 0.0)      # see dkv kernel comment
+        pq = p.astype(v_ref.dtype)
+        dv_ref[gi] += jax.lax.dot_general(            # pq^T do -> (bk, d)
+            pq, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(                     # do v^T -> (bq, bk)
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[gi])).astype(q_ref.dtype)
+        dk_ref[gi] += jax.lax.dot_general(            # ds^T q -> (bk, d)
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * _LN2
+        row = pl.ds(ib * block_q, block_q)
+        dq_ref[gi, row, :] += jax.lax.dot_general(    # ds k -> (bq, d)
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        return 0
+
+    jax.lax.fori_loop(0, g, body, 0, unroll=(g <= 2))
 
 
 def _bwd_dq_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
@@ -536,6 +596,56 @@ def _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale: float,
 
     nq = lq_pad // block_q
     nk = lk_pad // block_k
+
+    # fused single-pass backward (default): one score/dp computation feeds
+    # dq, dk and dv. Falls back to the split two-pass kernels only when the
+    # full-length fp32 dq block would blow the VMEM budget (very long Lq),
+    # or when forced via MAA3_FLASH_BWD=split (A/B probes).
+    mode = _os.environ.get("MAA3_FLASH_BWD", "auto")
+    grp_f = 0
+    if mode != "split":
+        d_lanes = _round_up(d, 128)
+        isz = jnp.dtype(q.dtype).itemsize
+        temps = 4 * 3 * block_q * block_k          # s2/p, dp, ds (fp32-ish)
+        per_pair = (2 * isz * (2 * block_q + 2 * block_k) * d_lanes  # q,do,k,v
+                    + 2 * 4 * 2 * block_k * d_lanes   # dk, dv fp32 out blocks
+                    + 4 * lq_pad * d_lanes            # full-length fp32 dq
+                    + 3 * 4 * 2 * block_q)            # lse/delta columns
+        if per_pair + temps <= _VMEM_BUDGET or mode == "fused":
+            grp_f = 1
+            while (grp_f * 2 <= 16 and (b * h) % (grp_f * 2) == 0
+                   and per_pair * grp_f * 2 + temps <= _VMEM_BUDGET):
+                grp_f *= 2
+    if grp_f:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale, nq=nq,
+                              g=grp_f, block_q=block_q),
+            out_shape=[jax.ShapeDtypeStruct((b * h, lq_pad, d), jnp.float32),
+                       jax.ShapeDtypeStruct((b * h, lk_pad, d), jnp.float32),
+                       jax.ShapeDtypeStruct((b * h, lk_pad, d), jnp.float32)],
+            grid=(b * h // grp_f, nk, nq),
+            in_specs=[  # mask, lse, delta, q, do, k, v
+                pl.BlockSpec((grp_f, 1, block_k), lambda gb, j, i: (gb, 0, j)),
+                pl.BlockSpec((grp_f, block_q, 1), lambda gb, j, i: (gb, i, 0)),
+                pl.BlockSpec((grp_f, block_q, 1), lambda gb, j, i: (gb, i, 0)),
+                pl.BlockSpec((grp_f, block_q, d), lambda gb, j, i: (gb, i, 0)),
+                pl.BlockSpec((grp_f, block_q, d), lambda gb, j, i: (gb, i, 0)),
+                pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
+                pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((grp_f, lq_pad, d), lambda gb, j, i: (gb, 0, 0)),
+                pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
+                pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(maskp, lse, delta, qp, dop, kp, vp)
+        dq = dq.reshape(b, h, lq_pad, d)[:, :, :lq, :].astype(q.dtype)
+        dk = dk.reshape(b, h, lk_pad, d)[:, :, :lk, :].astype(k.dtype)
+        dv = dv.reshape(b, h, lk_pad, d)[:, :, :lk, :].astype(v.dtype)
+        return dq, dk, dv
 
     grp = _pick_group(b * h, block_q, block_k, d,
                       n_bq_bufs=3, n_bk_bufs=4, n_temps=4, n_acc_bk=2)
