@@ -54,19 +54,21 @@ class DiTConfig:
     qk_norm: bool = False
     rope_scaling_factor: float = 1.0
     ntk_factor: float = 1.0
-    # Pallas flash-attention: None = auto (kernel when seq > 4096);
-    # True/False = force. After the grouped rewrite the kernel's FORWARD
-    # beats XLA dense 1.5-2.3x from seq 624 up (PROBE_FLASH_SERVE.json), but
-    # the auto threshold stays MEMORY-motivated: the backward still trails
-    # dense 0.64-0.9x through seq 4096 (PROBE_FLASH_TRAIN.json — dq/dk/dv
-    # recompute scores twice while XLA's dense bwd is already flash-
-    # scheduled), and at the production seq 312 the isolated op is ~0.1 ms,
-    # so the pallas_call fusion barrier costs more end-to-end than the
-    # kernel saves (PROBE_FLASH_E2E.json: forcing it ON loses throughput at
-    # every serving batch). Past seq ~4-8k dense's O(L^2) score buffers blow
-    # the HBM budget (one B*H*L^2 bf16 score set is 2.1 GiB at L=8192/B2/H8
-    # and the dense backward keeps several alive) — there the O(L)-memory
-    # kernel (fwd AND bwd, ops/flash_attention.py) is the only viable route.
+    # Pallas flash-attention: None = mode-aware auto; True/False = force.
+    # After the grouped rewrite the kernel's FORWARD beats XLA dense
+    # 1.5-2.3x from seq 624 up (PROBE_FLASH_SERVE.json), and
+    # the auto threshold is MODE-AWARE (flash_for_len). Training: with the
+    # fused single-pass backward the flash train grad beats dense 2.0x at
+    # seq 2048 and 1.67x at 4096 but still trails slightly (0.93x) at 1248
+    # (PROBE_FLASH_TRAIN.json) — auto-route to the kernel from seq 2048.
+    # Inference: at the production seq 312 the isolated op is ~0.1 ms, so
+    # the pallas_call fusion barrier costs more end-to-end than the kernel
+    # saves (PROBE_FLASH_E2E.json: forcing it ON loses throughput at every
+    # serving batch) — stay dense until seq ~4k. Past seq ~4-8k dense's
+    # O(L^2) score buffers blow the HBM budget in either mode (one B*H*L^2
+    # bf16 score set is 2.1 GiB at L=8192/B2/H8 and the dense backward
+    # keeps several alive) — there the O(L)-memory kernel (fwd AND bwd,
+    # ops/flash_attention.py) is the only viable route.
     use_flash: "Optional[bool]" = None
     # bf16-serving drift levers (no effect in fp32 mode): keep the attention
     # score matrices in fp32 (the HBM cost only matters at batch >= 4), and
@@ -95,10 +97,18 @@ class DiTConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
-    def flash_for_len(self, seq_len: int) -> bool:
+    def flash_for_len(self, seq_len: int, training: bool = False) -> bool:
         if self.use_flash is not None:
             return self.use_flash
-        return seq_len > 4096
+        return seq_len >= 2048 if training else seq_len > 4096
+
+    def resolve_flash(self, seq_len: int, training: bool) -> "DiTConfig":
+        """Pin use_flash for this apply (a trace-time decision): the block
+        bodies then route unconditionally and training/inference can differ."""
+        if self.use_flash is not None:
+            return self
+        return dataclasses.replace(
+            self, use_flash=self.flash_for_len(seq_len, training))
 
 
 # ---------------------------------------------------------------------------
@@ -188,13 +198,17 @@ def final_layer_apply(p: dict, x: Array, c: Array) -> Array:
 def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
               context: Array, x_mask: Optional[Array] = None,
               context_mask: Optional[Array] = None,
-              compute_dtype=jnp.bfloat16) -> Array:
+              compute_dtype=jnp.bfloat16, training: bool = False) -> Array:
     """Forward pass. x: (B, C, T); t: (B,) timesteps in [0, 1000);
     context: (B, Ly, context_dim). Returns (B, C, T) velocity.
+
+    training=True selects the train-side flash-attention auto threshold
+    (the fused backward wins from seq 2048; inference stays dense to 4096).
 
     Parity: TxtFlagLargeDiT.forward (flag_large_dit.py:177-210).
     """
     b, c, tlen = x.shape
+    cfg = cfg.resolve_flash(tlen, training)
     x = x.transpose(0, 2, 1)  # (B, T, C)
     x = dense(params["proj_in"], x, compute_dtype)
     if cfg.fp32_residual:

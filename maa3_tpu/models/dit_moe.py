@@ -57,17 +57,24 @@ class MoEDiTConfig:
     ntk_factor: float = 1.0
     num_experts: int = 4
     num_timesteps: int = 1000
-    use_flash: "Optional[bool]" = None  # None = auto (seq > 4096; see dit.py)
+    use_flash: "Optional[bool]" = None  # None = mode-aware auto (see dit.py)
     remat: bool = False  # rematerialize blocks in backward (training memory)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
-    def flash_for_len(self, seq_len: int) -> bool:
+    def flash_for_len(self, seq_len: int, training: bool = False) -> bool:
         if self.use_flash is not None:
             return self.use_flash
-        return seq_len > 4096
+        return seq_len >= 2048 if training else seq_len > 4096
+
+    def resolve_flash(self, seq_len: int, training: bool) -> "MoEDiTConfig":
+        """See DiTConfig.resolve_flash (models/dit.py)."""
+        if self.use_flash is not None:
+            return self
+        return dataclasses.replace(
+            self, use_flash=self.flash_for_len(seq_len, training))
 
     @property
     def time_bucket(self) -> int:
@@ -236,12 +243,14 @@ def moe_apply_shared_t(p: dict, x: Array, t_idx, cfg: MoEDiTConfig,
 
 
 def moe_dit_apply(params: dict, cfg: MoEDiTConfig, x: Array, t: Array,
-                  context: Array, compute_dtype=jnp.bfloat16) -> Array:
+                  context: Array, compute_dtype=jnp.bfloat16,
+                  training: bool = False) -> Array:
     """x (B, C, T), t (B,) in [0, 1000), context (B, Lv, ctx) video features.
 
     Parity: VideoFlagLargeDiT.forward (flag_large_dit_moe.py:664-698).
     """
     b, c_in, tlen = x.shape
+    cfg = cfg.resolve_flash(tlen, training)
     x = x.transpose(0, 2, 1)
     x = dense(params["proj_in"], x, compute_dtype)
 

@@ -329,9 +329,10 @@ def flash_attention(q: Array, k: Array, v: Array,
 
     block_q/block_k default to adaptive sizes (whole sequence up to a
     VMEM-safe cap). Differentiable: the custom VJP saves only O(L) residuals
-    (output + per-row log-sum-exp) and recomputes probabilities blockwise in
-    two Pallas backward kernels (dk/dv with the q loop inner, dq with the kv
-    loop inner)."""
+    (output + per-row log-sum-exp) and recomputes probabilities blockwise —
+    by default in ONE fused Pallas backward kernel feeding dq/dk/dv from a
+    single score computation (split two-pass form kept as the long-Lq
+    fallback and via MAA3_FLASH_BWD=split)."""
     if interpret is None:
         # no TPU: run the kernel in interpreter mode so the flash path stays
         # testable (and functional) on CPU hosts

@@ -83,7 +83,8 @@ def dit_apply_pipelined(params: dict, cfg: DiTConfig, x: Array, t: Array,
                         context: Array, mesh: Mesh, n_micro: int,
                         x_mask: Optional[Array] = None,
                         context_mask: Optional[Array] = None,
-                        compute_dtype=jnp.bfloat16) -> Array:
+                        compute_dtype=jnp.bfloat16,
+                        training: bool = False) -> Array:
     """dit_apply with the block stack executed as a GPipe pipeline.
 
     Drop-in for models/dit.py::dit_apply (same signature plus mesh/n_micro):
@@ -96,7 +97,8 @@ def dit_apply_pipelined(params: dict, cfg: DiTConfig, x: Array, t: Array,
     if n_pipe == 1:
         return dit_apply(params, cfg, x, t, context, x_mask=x_mask,
                          context_mask=context_mask,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, training=training)
+    cfg = cfg.resolve_flash(x.shape[2], training)
     depth = params["blocks"]["adaLN"]["w"].shape[0]
     assert depth % n_pipe == 0, (depth, n_pipe)
     b = x.shape[0]

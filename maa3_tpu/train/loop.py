@@ -217,14 +217,15 @@ class Trainer:
         if self.spec.backbone_kind == "video_moe_dit":
             dit_cfg = self.spec.dit
             apply_fn = (lambda p, x, t, c:
-                        moe_dit_apply(p, dit_cfg, x, t, c, compute_dtype=cdt))
+                        moe_dit_apply(p, dit_cfg, x, t, c, compute_dtype=cdt,
+                                      training=True))
         elif self.n_pipe > 1:
             from maa3_tpu.parallel.pipeline import dit_apply_pipelined
             dit_cfg, mesh, n_micro = self.spec.dit, self.mesh, self.n_micro
             apply_fn = (lambda p, x, t, c:
                         dit_apply_pipelined(p, dit_cfg, x, t, c,
                                             mesh=mesh, n_micro=n_micro,
-                                            compute_dtype=cdt))
+                                            compute_dtype=cdt, training=True))
         step_fn = make_train_step(
             self.spec.dit, self.spec.vae, self.optimizer,
             num_timesteps=self.spec.timesteps, ema_decay=ema_decay,
@@ -443,7 +444,7 @@ class Trainer:
                 dit_cfg = self.spec.dit
                 apply_fn = (lambda p, x, t, c:
                             moe_dit_apply(p, dit_cfg, x, t, c,
-                                          compute_dtype=cdt))
+                                          compute_dtype=cdt, training=True))
             elif self.n_pipe > 1:
                 # mirror __init__: the blocks are 'pipe'-sharded — a plain
                 # dit_apply here would make GSPMD all-gather the full block
@@ -453,7 +454,8 @@ class Trainer:
                 apply_fn = (lambda p, x, t, c:
                             dit_apply_pipelined(p, dit_cfg, x, t, c,
                                                 mesh=mesh, n_micro=n_micro,
-                                                compute_dtype=cdt))
+                                                compute_dtype=cdt,
+                                                training=True))
             from maa3_tpu.train.step import make_eval_step
             self._eval_step = jax.jit(make_eval_step(
                 self.spec.dit, self.spec.vae,

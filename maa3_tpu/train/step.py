@@ -61,8 +61,8 @@ def make_train_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig, optimizer,
     jointly (cond_stage_trainable: true, configs/txt2audio-cfm-cfg.yaml:15).
     apply_fn overrides the backbone (e.g. moe_dit_apply for the video model).
     """
-    backbone = apply_fn or (lambda p, x, t, c: dit_apply(p, dit_cfg, x, t, c,
-                                                         compute_dtype=compute_dtype))
+    backbone = apply_fn or (lambda p, x, t, c: dit_apply(
+        p, dit_cfg, x, t, c, compute_dtype=compute_dtype, training=True))
 
     def loss_fn(params, frozen, scale_factor, batch, key):
         kvae, kcfm = jax.random.split(key)
@@ -108,8 +108,8 @@ def make_eval_step(dit_cfg: DiTConfig, vae_cfg: VAEConfig,
                    conditioner=None, apply_fn=None):
     """Validation loss (the reference's val `loss_simple` logging,
     ddpm.py:360-367): same CFM objective, no gradient/update."""
-    backbone = apply_fn or (lambda p, x, t, c: dit_apply(p, dit_cfg, x, t, c,
-                                                         compute_dtype=compute_dtype))
+    backbone = apply_fn or (lambda p, x, t, c: dit_apply(
+        p, dit_cfg, x, t, c, compute_dtype=compute_dtype, training=True))
 
     def eval_step(state: TrainState, batch: dict, key: Array):
         kvae, kcfm = jax.random.split(key)

@@ -1,7 +1,8 @@
 """The Pallas flash-attention kernel wired INTO the DiT (long-context path).
 
 Covers the VERDICT gap "flash kernel unreachable from the model": DiTConfig
-selects the kernel (use_flash=True/False, or auto for seq > 4096), and a
+selects the kernel (use_flash=True/False, or mode-aware auto: training
+from seq 2048, inference past 4096), and a
 >1248-frame forward through the full model must match the XLA-SDPA path.
 On CPU the kernel runs in Pallas interpreter mode (flash_attention.py picks
 interpret automatically off-TPU).
