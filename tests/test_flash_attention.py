@@ -100,6 +100,64 @@ def test_flash_gradients_match_dense():
                                    rtol=0.1, atol=0.1)
 
 
+def test_fused_bwd_matches_split():
+    """The default FUSED single-pass backward (one score computation feeds
+    dq/dk/dv) must agree with the split two-pass kernels it replaced — the
+    split form stays as the long-Lq fallback and MAA3_FLASH_BWD=split A/B
+    path, so both must stay correct."""
+    import os
+    from maa3_tpu.ops.flash_attention import _flash_pallas_bwd
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    b, h, l, d = 2, 4, 200, 64
+    q = jax.random.normal(kq, (b, h, l, d))
+    k = jax.random.normal(kk, (b, h, l, d))
+    v = jax.random.normal(kv, (b, h, l, d))
+    do = jax.random.normal(kd, (b, h, l, d))
+    o = flash_attention(q, k, v, interpret=True)
+    import math
+    scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    lse = jax.nn.logsumexp(s, axis=-1).reshape(b * h, l, 1)
+    mask = jnp.ones((b, l), jnp.int32)
+    outs = {}
+    for mode in ("fused", "split"):
+        os.environ["MAA3_FLASH_BWD"] = mode
+        try:
+            outs[mode] = _flash_pallas_bwd(q, k, v, mask, o, lse, do,
+                                           scale, None, None, True)
+        finally:
+            os.environ.pop("MAA3_FLASH_BWD", None)
+    for a, b_ in zip(outs["fused"], outs["split"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_mode_aware_auto_threshold():
+    """use_flash=None auto-routes mode-aware: training from seq 2048 (the
+    fused backward beats dense 2x there, PROBE_FLASH_TRAIN.json), inference
+    only past 4096 (pallas_call fusion barrier loses e2e at serving shapes);
+    an explicit use_flash overrides both."""
+    from maa3_tpu.models.dit import DiTConfig
+    from maa3_tpu.models.dit_moe import MoEDiTConfig
+
+    for cls in (DiTConfig, MoEDiTConfig):
+        cfg = cls(in_channels=4, context_dim=16, hidden_size=32, depth=1,
+                  num_heads=2)
+        assert not cfg.flash_for_len(312, training=True)
+        assert not cfg.flash_for_len(1248, training=True)
+        assert cfg.flash_for_len(2048, training=True)
+        assert not cfg.flash_for_len(2048, training=False)
+        assert not cfg.flash_for_len(4096, training=False)
+        assert cfg.flash_for_len(4097, training=False)
+        pinned = cfg.resolve_flash(2048, True)
+        assert pinned.use_flash is True
+        assert cls(in_channels=4, context_dim=16, hidden_size=32, depth=1,
+                   num_heads=2, use_flash=False).flash_for_len(
+                       8192, training=True) is False
+
+
 def test_flash_trains_in_model():
     """A DiT train-style grad through the auto-routed flash path (use_flash
     True) must run and be finite — the serving kernel cannot be a training
