@@ -60,16 +60,22 @@ def main():
     ap.add_argument("--fuse", action="store_true",
                     help="train with fused wqkv/w13 params (wider MXU GEMMs "
                          "fwd+bwd; single-axis DP only — TP wants unfused)")
+    ap.add_argument("--use_flash", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="attention route: auto = mode-aware threshold "
+                         "(flash from seq 2048 in training), on/off = force")
     ap.add_argument("--small", action="store_true")  # CPU smoke
     ap.add_argument("--profile", type=str, default="",
                     help="capture a jax.profiler trace of 3 steps to DIR")
     opt = ap.parse_args()
+    use_flash = {"auto": None, "on": True, "off": False}[opt.use_flash]
 
     if opt.small:
         dit_cfg = DiTConfig(in_channels=20, context_dim=64, hidden_size=128,
                             depth=2, num_heads=4, max_len=256,
                             remat=not opt.no_remat,
-                            remat_policy=opt.remat_policy)
+                            remat_policy=opt.remat_policy,
+                            use_flash=use_flash)
         vae_cfg = VAEConfig(ch=64, ch_mult=(1, 2))
         ctx_len, ctx_dim = 10, 64
         opt.latent = min(opt.latent, 64)
@@ -77,7 +83,8 @@ def main():
         dit_cfg = DiTConfig(in_channels=20, context_dim=1024,
                             hidden_size=1152, depth=28, num_heads=16,
                             max_len=1000, remat=not opt.no_remat,
-                            remat_policy=opt.remat_policy)
+                            remat_policy=opt.remat_policy,
+                            use_flash=use_flash)
         vae_cfg = VAEConfig()
         ctx_len, ctx_dim = 154, 1024
 
@@ -143,6 +150,7 @@ def main():
         "cached_latents": opt.cached_latents,
         "factored": opt.factored,
         "mu_dtype": opt.mu_dtype,
+        "use_flash": opt.use_flash,
         "step_ms": round(step_t * 1e3, 1),
         "steps_per_sec": round(1.0 / step_t, 2),
         "train_mfu": round(flops / step_t / V5E_PEAK_BF16, 3),
