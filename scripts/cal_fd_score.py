@@ -36,6 +36,11 @@ def main():
                    help="melception = the Inception3-for-mel backbone the "
                         "published audio-FID numbers use "
                         "(train_melception.py:20-34); 2048-d features")
+    p.add_argument("--norm_stats", default="",
+                   help="cached train_means_stds txt — the upstream protocol "
+                        "z-normalizes eval mels with TRAIN-split stats "
+                        "(vggishish/transforms.py StandardNormalizeAudio); "
+                        "produced by train_melclf.py --norm")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -85,6 +90,10 @@ def main():
                                                   return_embedding=True))
 
     loader = NativeLoader(rows=80)
+    norm = None
+    if opt.norm_stats:
+        from maa3_tpu.data.transforms import StandardNormalizeAudio
+        norm = StandardNormalizeAudio.from_stats_file(opt.norm_stats)
 
     def embed_dir(d):
         paths = sorted(glob.glob(os.path.join(d, "*.npy")))
@@ -94,6 +103,8 @@ def main():
         for i in range(0, len(paths), opt.batch):
             mel = loader.load_batch(paths[i : i + opt.batch], opt.mel_len,
                                     mode="tile")
+            if norm is not None:
+                mel = norm(mel).astype(np.float32)
             logits, emb = apply_fn(jnp.asarray(mel))
             logits_all.append(np.asarray(logits))
             emb_all.append(np.asarray(emb))

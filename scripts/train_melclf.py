@@ -54,6 +54,12 @@ def main():
                    help="held-out TSV; logs accuracy@k/mAP/mROCAUC/dprime")
     p.add_argument("--val_every", type=int, default=0,
                    help="0 = only at the end")
+    p.add_argument("--norm", action="store_true",
+                   help="frequency-wise z-norm from training-set stats "
+                        "(vggishish StandardNormalizeAudio; stats derived "
+                        "from this TSV's mels and cached)")
+    p.add_argument("--norm_cache", default="./data/",
+                   help="stats cache dir (transforms.py:20)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -76,6 +82,17 @@ def main():
         num_classes = opt.num_classes
     paths = [r["mel_path"] for r in rows]
     print(f"{len(rows)} samples, {num_classes} classes")
+
+    # upstream eval protocol trains the classifier on z-normalized mels
+    # (vggishish/transforms.py StandardNormalizeAudio; train.py builds the
+    # same chain) — the cached stats file is reused by predict/cal_fd_score
+    norm = None
+    if opt.norm:
+        from maa3_tpu.data.transforms import StandardNormalizeAudio
+        norm = StandardNormalizeAudio(
+            os.path.dirname(paths[0]) or ".", cache_path=opt.norm_cache,
+            train_paths=paths)
+        print(f"norm stats cached -> {norm.cache_path}")
 
     if opt.backbone == "melception":
         from maa3_tpu.models.melception import (MelceptionConfig,
@@ -148,6 +165,8 @@ def main():
         for i in range(0, len(val_paths), opt.batch_size):
             mel = loader.load_batch(val_paths[i : i + opt.batch_size],
                                     opt.mel_len, mode="tile")
+            if norm is not None:
+                mel = norm(mel).astype(np.float32)
             logits_all.append(np.asarray(eval_fn(params, jnp.asarray(mel))))
         m = eval_metrics(val_y, np.concatenate(logits_all),
                          topk=(1, min(5, num_classes)))
@@ -161,6 +180,8 @@ def main():
         idx = rng.randint(0, len(rows), opt.batch_size)
         mel = loader.load_batch([paths[i] for i in idx], opt.mel_len,
                                 mode="tile")
+        if norm is not None:
+            mel = norm(mel).astype(np.float32)
         y = jnp.asarray(y_all[idx])
         params, opt_state, loss, acc = step(params, opt_state,
                                             jnp.asarray(mel), y)
