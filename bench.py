@@ -292,12 +292,22 @@ def main():
             emit("fp32_highest_mode_failed")
 
     pipe8 = None  # set by stage 1c; reused by the int8 throughput stage
+    # wide-stage w8a8 vocoder (res0/res1 conv GEMMs int8): the batched
+    # serving default — the wide stages are the only vocoder components not
+    # at a hardware bound at batch (PROBE_VOC_B8_ROUTE); wav drift published
+    # in stage 2a. The b1 headline keeps the float vocoder.
+    from maa3_tpu.models.bigvgan import quantize_bigvgan
+    voc_q = quantize_bigvgan(pipe32.params["vocoder"], pipe32.voc_cfg)
+    params_vq = dict(params16)
+    params_vq["vocoder"] = voc_q
+    pipe_vq = dataclasses.replace(pipe, params=params_vq)
 
     # ---- stage 1c: int8 (w8a8) turbo serving mode ------------------------
     # Per-step DiT GEMMs quantized to int8 (ops/quant.py): measured ODE
     # 115.6 -> 93.6 ms and p50 0.220 -> 0.195 s on v5e, at ~2x the bf16
     # mode's mel drift (5.1e-3 vs 2.5e-3 MAE vs fp32). Published as its own
-    # mode so the latency/quality tradeoff is explicit.
+    # mode so the latency/quality tradeoff is explicit. Round 4 adds the
+    # quantized vocoder to this mode (serving_vocoder parity).
     if remaining() > est_compile:
         try:
             from maa3_tpu.ops.quant import quantize_dit_serving
@@ -305,6 +315,7 @@ def main():
             params8["dit"] = cast_matmul_weights(
                 quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"])),
                 jnp.bfloat16)
+            params8["vocoder"] = voc_q
             pipe8 = dataclasses.replace(pipe, params=params8)
 
             def run8(k):
@@ -330,7 +341,10 @@ def main():
             RESULT["int8_error"] = repr(e)[:200]
             emit("int8_mode_failed")
 
-    # ---- stage 2: batched throughput (bf16) ------------------------------
+    # ---- stage 2: batched throughput (bf16 DiT + int8 wide-stage vocoder) -
+    # The batched serving default: bf16 ODE, w8a8 vocoder wide stages,
+    # chunked-unfold wide routing (auto at batch >= 4). The pure-float
+    # vocoder ablation is stage 2a.
     best_tp, best_b = 0.0, 0
     tp_by_batch = {}
     for bsz in (8, 16, 32):
@@ -341,9 +355,9 @@ def main():
             uc_b = jnp.zeros_like(ctx_b)
 
             def run_b(k):
-                _, _, wav = pipe.generate(ctx_b, uc_b, k,
-                                          latent_len=LATENT_LEN,
-                                          guidance_scale=5.0, steps=STEPS)
+                _, _, wav = pipe_vq.generate(ctx_b, uc_b, k,
+                                             latent_len=LATENT_LEN,
+                                             guidance_scale=5.0, steps=STEPS)
                 return wav
 
             run_b(jax.random.PRNGKey(99))  # compile + warmup
@@ -363,31 +377,65 @@ def main():
             emit(f"throughput_b{bsz}_failed")
             break
 
-    # ---- stage 2b: int8 batched throughput --------------------------------
-    # int8 helps most where the MXU is the bottleneck; the b1 latency win
-    # (stage 1c) does not predict the batched win, so measure it at the best
-    # bf16 batch size directly.
-    if pipe8 is not None and best_b and remaining() > est_compile:
+    # ---- stage 2a: vocoder-quant ablation + wav drift --------------------
+    # (a) b8 with the FLOAT vocoder — isolates the voc-int8 + routing win;
+    # (b) b1 voc-int8 vs float wav MAE on the same mel — the quality cost.
+    if best_b and remaining() > est_compile:
         try:
-            ctx_b = jnp.broadcast_to(ctx, (best_b,) + ctx.shape[1:])
+            ctx_b = jnp.broadcast_to(ctx, (8,) + ctx.shape[1:])
+            uc_b = jnp.zeros_like(ctx_b)
+
+            def run_fv(k):
+                return pipe.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
+                                     guidance_scale=5.0, steps=STEPS)[2]
+
+            run_fv(jax.random.PRNGKey(99))
+            tb = median_time(run_fv, (jax.random.PRNGKey(108),), n=3)
+            RESULT["throughput_b8_float_voc"] = round(8 * 10.0 / tb, 1)
+            wav_q = np.asarray(pipe_vq.generate(
+                ctx, uc, gen_key, latent_len=LATENT_LEN, guidance_scale=5.0,
+                steps=STEPS)[2], dtype=np.float32)
+            wav_f = np.asarray(pipe.generate(
+                ctx, uc, gen_key, latent_len=LATENT_LEN, guidance_scale=5.0,
+                steps=STEPS)[2], dtype=np.float32)
+            RESULT["wav_mae_voc_int8"] = float(np.abs(wav_q - wav_f).mean())
+            emit("voc_quant_ablation")
+        except Exception as e:
+            RESULT["voc_ablation_error"] = repr(e)[:200]
+            emit("voc_quant_ablation_failed")
+
+    # ---- stage 2b: int8 batched throughput sweep --------------------------
+    # w8a8 halves exactly the activation bytes PROBE_BATCH_DECOMPOSE blames
+    # for the b16/b32 ODE falloff — the by-batch sweep is the experiment
+    # that closes (or refutes) that story.
+    tp8_by_batch = {}
+    for bsz in (8, 16, 32):
+        if pipe8 is None or remaining() < est_compile:
+            break
+        try:
+            ctx_b = jnp.broadcast_to(ctx, (bsz,) + ctx.shape[1:])
             uc_b = jnp.zeros_like(ctx_b)
 
             def run_b8(k):
                 return pipe8.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
                                       guidance_scale=5.0, steps=STEPS)[2]
 
-            note(f"stage 2b: compiling int8 b{best_b} generate")
+            note(f"stage 2b: compiling int8 b{bsz} generate")
             run_b8(jax.random.PRNGKey(99))  # compile + warmup
-            tb = median_time(run_b8, (jax.random.PRNGKey(200),), n=3)
+            tb = median_time(run_b8, (jax.random.PRNGKey(200 + bsz),), n=3)
+            tp8_by_batch[bsz] = round(bsz * 10.0 / tb, 1)
+            best8 = max(tp8_by_batch, key=tp8_by_batch.get)
             RESULT.update({
                 "throughput_int8_secs_audio_per_sec_chip":
-                    round(best_b * 10.0 / tb, 1),
-                "throughput_int8_batch": best_b,
+                    tp8_by_batch[best8],
+                "throughput_int8_batch": best8,
+                "throughput_int8_by_batch": tp8_by_batch,
             })
-            emit(f"throughput_int8_b{best_b}")
+            emit(f"throughput_int8_b{bsz}")
         except Exception as e:
             RESULT["throughput_int8_error"] = repr(e)[:200]
-            emit("throughput_int8_failed")
+            emit(f"throughput_int8_b{bsz}_failed")
+            break
 
     # ---- stage 3: component breakdown (batch 1) --------------------------
     if remaining() > est_compile:
@@ -418,6 +466,33 @@ def main():
             RESULT["components_error"] = repr(e)[:200]
             emit("components_failed")
 
+    # ---- stage 3b: component breakdown at batch 8 ------------------------
+    # (the vocoder round-4 target is per-CLIP device time at b8 with the
+    # w8a8 wide stages + chunked-unfold routing — this is its evidence)
+    if remaining() > est_compile:
+        try:
+            x0_8 = jax.random.normal(jax.random.PRNGKey(4),
+                                     (8, 20, LATENT_LEN), jnp.float32)
+            ctx_8 = jnp.broadcast_to(ctx, (8,) + ctx.shape[1:])
+            uc_8 = jnp.zeros_like(ctx_8)
+            scale = jnp.float32(5.0)
+            ode_t8 = component_time(
+                lambda x: pipe_vq._sample_latent(pipe_vq.params, x, ctx_8,
+                                                 uc_8, scale, STEPS), (x0_8,))
+            z8 = pipe_vq._sample_latent(pipe_vq.params, x0_8, ctx_8, uc_8,
+                                        scale, STEPS)
+            mel8b = pipe_vq._decode_mel(pipe_vq.params, z8)
+            voc_t8 = component_time(
+                lambda m: pipe_vq._vocode(pipe_vq.params, m), (mel8b,))
+            RESULT.update({
+                "ode_ms_per_clip_b8": round(ode_t8 / 8 * 1e3, 1),
+                "vocoder_ms_per_clip_b8": round(voc_t8 / 8 * 1e3, 1),
+            })
+            emit("components_b8")
+        except Exception as e:
+            RESULT["components_b8_error"] = repr(e)[:200]
+            emit("components_b8_failed")
+
     # ---- stage 4: text-encoder latency -----------------------------------
     # (CLAP-BERT + T5-v1.1-large at real shapes; the conditioning tower runs
     # once per prompt, outside the per-step hot loop)
@@ -445,6 +520,62 @@ def main():
         except Exception as e:
             RESULT["encoder_error"] = repr(e)[:200]
             emit("encoder_failed")
+
+    # ---- stage 5: XXL (1.47B) serving point ------------------------------
+    # First time anything XXL-sized executes on the real chip: bf16 weights
+    # (~2.9 GB) fit one v5e. Host init of the 1.47B random pytree is
+    # minutes on the 1-core VM, so this stage is last and double-gated.
+    if remaining() > est_compile * 1.5 + 300.0:
+        try:
+            note("stage 5: XXL init (1.47B random weights, minutes on host)")
+            xxl = DiTConfig(in_channels=20, context_dim=1024,
+                            hidden_size=1536, depth=32, num_heads=32,
+                            max_len=1000)
+            pipe_xxl32 = T2APipeline.random_init(
+                jax.random.PRNGKey(7), xxl, VAEConfig(), BigVGANConfig(),
+                compute_dtype=jnp.float32)
+            pipe_xxl32.params["dit"] = unfreeze_zero_init(
+                pipe_xxl32.params["dit"], jax.random.PRNGKey(7))
+            params_x = dict(pipe_xxl32.params)
+            params_x["dit"] = fuse_dit_gemms(
+                cast_matmul_weights(pipe_xxl32.params["dit"], jnp.bfloat16))
+            params_x["vocoder"] = quantize_bigvgan(
+                pipe_xxl32.params["vocoder"], pipe_xxl32.voc_cfg)
+            pipe_xxl = dataclasses.replace(
+                pipe_xxl32, compute_dtype=jnp.bfloat16, params=params_x,
+                dit_cfg=dataclasses.replace(xxl, fp32_residual=True))
+            n_xxl = dit_param_count(pipe_xxl32.params["dit"])
+
+            def run_xxl(k):
+                return pipe_xxl.generate(ctx, uc, k, latent_len=LATENT_LEN,
+                                         guidance_scale=5.0, steps=STEPS)[2]
+
+            note("stage 5: compiling XXL bf16 generate")
+            run_xxl(gen_key)
+            p50_xxl = median_time(run_xxl, (gen_key,))
+            RESULT.update({
+                "xxl_params": int(n_xxl),
+                "xxl_latency_p50_s": round(p50_xxl, 4),
+                "xxl_vs_baseline": round(NORTH_STAR_S / p50_xxl, 3),
+            })
+            emit("xxl_b1")
+            if remaining() > est_compile:
+                ctx_b = jnp.broadcast_to(ctx, (8,) + ctx.shape[1:])
+                uc_b = jnp.zeros_like(ctx_b)
+
+                def run_xxl_b(k):
+                    return pipe_xxl.generate(ctx_b, uc_b, k,
+                                             latent_len=LATENT_LEN,
+                                             guidance_scale=5.0,
+                                             steps=STEPS)[2]
+
+                run_xxl_b(jax.random.PRNGKey(99))
+                tb = median_time(run_xxl_b, (jax.random.PRNGKey(201),), n=3)
+                RESULT["xxl_throughput_b8"] = round(8 * 10.0 / tb, 1)
+                emit("xxl_b8")
+        except Exception as e:
+            RESULT["xxl_error"] = repr(e)[:200]
+            emit("xxl_failed")
 
 
 if __name__ == "__main__":

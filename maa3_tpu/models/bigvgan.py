@@ -180,6 +180,50 @@ def _auto_pallas_aa(pallas_aa, batch: int) -> bool:
     return jax.default_backend() != "cpu" and batch >= 4
 
 
+def _auto_wide_unfold(batch: int) -> bool:
+    """Batched wide-stage routing (PROBE_VOC_B8_ROUTE): at batch >= 4 the
+    chunked unfold-GEMM beats lax.conv on the >192-channel stages (res0
+    -12 %, res1 -16 % at b8) while narrow stages keep their fused path.
+    MAA3_WIDE_UNFOLD=0/1 overrides; CPU keeps the stock lowering."""
+    env = os.environ.get("MAA3_WIDE_UNFOLD")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "off", "no", "")
+    return jax.default_backend() != "cpu" and batch >= 4
+
+
+def quantize_bigvgan(params: dict, cfg: BigVGANConfig,
+                     min_ch: "int | None" = None) -> dict:
+    """int8-quantize the resblock conv GEMMs of stages with >= min_ch
+    channels (serving only — no VJP on the w8a8 path).
+
+    The wide stages are the only vocoder components not at a hardware bound
+    at batch (res1 alone is 64-76 ms/batch at b8, PROBE_VOC_B8_ROUTE); their
+    convs already run as unfold GEMMs in the batched mix, so w8a8 halves the
+    im2col HBM bytes and doubles the MXU rate. conv_pre / upsamplers /
+    conv_post and all snake parameters stay float. Quantize from fp32
+    weights, BEFORE any bf16 serving cast. min_ch default 384 (res0+res1,
+    the measured-unbound stages); MAA3_VOC_QUANT_MIN_CH overrides for
+    sweeps."""
+    from maa3_tpu.ops.conv import quantize_conv_int8
+    if min_ch is None:
+        min_ch = int(os.environ.get("MAA3_VOC_QUANT_MIN_CH", "384"))
+    p = dict(params)
+    nk = len(cfg.resblock_kernel_sizes)
+    res = list(p["resblocks"])
+    for i in range(len(cfg.upsample_rates)):
+        cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+        if cout < min_ch:
+            continue
+        for j in range(nk):
+            rb = dict(res[i * nk + j])
+            for key in ("convs1", "convs2", "convs"):
+                if key in rb:
+                    rb[key] = [quantize_conv_int8(c) for c in rb[key]]
+            res[i * nk + j] = rb
+    p["resblocks"] = res
+    return p
+
+
 # ---------------------------------------------------------------------------
 # AMP blocks (models.py:32-128)
 # ---------------------------------------------------------------------------
@@ -210,24 +254,40 @@ _UNFOLD_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _conv_site(p: dict, x: Array, k: int, d: int, compute_dtype,
-               unfold_cutoff: int) -> Array:
-    """One stride-1 resblock conv, routed by channel width."""
+               unfold_cutoff: int, wide_unfold: bool = False) -> Array:
+    """One stride-1 resblock conv, routed by channel width.
+
+    wide_unfold: batched serving mix (PROBE_VOC_B8_ROUTE) — at batch >= 4
+    the batch-chunked unfold-GEMM also wins the WIDE stages (res0 768ch
+    36.3->31.8 ms, res1 384ch 75.9->63.8 at b8), while the narrow stages
+    stay on their fused-Pallas path. int8-quantized sites ("w_q" marker,
+    quantize_bigvgan) always run the w8a8 unfold GEMM."""
     pad = _get_padding(k, d)
-    if x.shape[1] <= unfold_cutoff:
-        itemsize = jnp.dtype(compute_dtype or x.dtype).itemsize
+    quant = "w_q" in p
+    if quant or x.shape[1] <= unfold_cutoff or wide_unfold:
+        itemsize = 1 if quant else jnp.dtype(compute_dtype or x.dtype).itemsize
         per_sample = k * x.shape[1] * x.shape[2] * itemsize
-        if per_sample <= _UNFOLD_MAX_BYTES:
+        if quant or per_sample <= _UNFOLD_MAX_BYTES:
             b = x.shape[0]
             bchunk = min(b, max(1, _UNFOLD_MAX_BYTES // per_sample))
             while b % bchunk:
                 bchunk -= 1
+            if quant:
+                from maa3_tpu.ops.conv import conv1d_unfold_w8a8
+                xq = (x.astype(compute_dtype)
+                      if compute_dtype is not None else x)
+
+                def fn(z):
+                    return conv1d_unfold_w8a8(p, z, padding=pad, dilation=d)
+                x = xq
+            else:
+                def fn(z):
+                    return conv1d_unfold(p, z, padding=pad, dilation=d,
+                                         compute_dtype=compute_dtype)
             if bchunk == b:
-                return conv1d_unfold(p, x, padding=pad, dilation=d,
-                                     compute_dtype=compute_dtype)
+                return fn(x)
             xc = x.reshape(b // bchunk, bchunk, x.shape[1], x.shape[2])
-            y = jax.lax.map(
-                lambda z: conv1d_unfold(p, z, padding=pad, dilation=d,
-                                        compute_dtype=compute_dtype), xc)
+            y = jax.lax.map(fn, xc)
             return y.reshape(b, y.shape[2], y.shape[3])
     return conv1d(p, x, padding=pad, dilation=d, compute_dtype=compute_dtype)
 
@@ -254,8 +314,10 @@ def _fused_site(act_p: dict, conv_p: dict, x: Array, k: int, d: int,
 
 def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
-                fused_cutoff: int = 0, unfold_cutoff: int = 0) -> Array:
-    fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
+                fused_cutoff: int = 0, unfold_cutoff: int = 0,
+                wide_unfold: bool = False) -> Array:
+    fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff
+             and "w_q" not in p["convs1"][0])  # quantized convs: GEMM path
     aa = _make_aa(cfg, use_pallas, compute_dtype)
     # activations alternate [::2] / [1::2] (models.py:75)
     for i, d in enumerate(dilations):
@@ -266,10 +328,10 @@ def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
         else:
             xt = aa(p["acts"][2 * i])(x)
             xt = _conv_site(p["convs1"][i], xt, k, d, compute_dtype,
-                            unfold_cutoff)
+                            unfold_cutoff, wide_unfold)
             xt = aa(p["acts"][2 * i + 1])(xt)
             xt = _conv_site(p["convs2"][i], xt, k, 1, compute_dtype,
-                            unfold_cutoff)
+                            unfold_cutoff, wide_unfold)
         x = xt + x
     return x
 
@@ -285,8 +347,10 @@ def _amp2_init(key: Array, ch: int, k: int, dilations: Sequence[int],
 
 def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 cfg: BigVGANConfig, compute_dtype, use_pallas: bool = False,
-                fused_cutoff: int = 0, unfold_cutoff: int = 0) -> Array:
-    fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff)
+                fused_cutoff: int = 0, unfold_cutoff: int = 0,
+                wide_unfold: bool = False) -> Array:
+    fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff
+             and "w_q" not in p["convs"][0])
     aa = _make_aa(cfg, use_pallas, compute_dtype)
     for i, d in enumerate(dilations):
         if fused:
@@ -295,7 +359,7 @@ def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
         else:
             xt = aa(p["acts"][i])(x)
             xt = _conv_site(p["convs"][i], xt, k, d, compute_dtype,
-                            unfold_cutoff)
+                            unfold_cutoff, wide_unfold)
         x = xt + x
     return x
 
@@ -348,6 +412,7 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
     if use_pallas:
         fused_cutoff = int(os.environ.get("MAA3_AMP_FUSED_CUTOFF", "192"))
     unfold_cutoff = _resolve_unfold_cutoff()
+    wide_unfold = _auto_wide_unfold(mel.shape[0])
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply
     aa = _make_aa(cfg, use_pallas, compute_dtype)
@@ -368,7 +433,8 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
             rb = params["resblocks"][i * num_kernels + j]
             y = amp_apply(rb, x, cfg.resblock_kernel_sizes[j],
                           cfg.resblock_dilation_sizes[j], cfg, compute_dtype,
-                          use_pallas, fused_cutoff, unfold_cutoff)
+                          use_pallas, fused_cutoff, unfold_cutoff,
+                          wide_unfold)
             xs = y if xs is None else xs + y
         x = xs / num_kernels
     if cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff:

@@ -88,6 +88,63 @@ def conv1d_unfold(params: dict, x: Array, padding=0, dilation: int = 1,
     return y
 
 
+def quantize_conv_int8(params: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of a conv1d weight.
+
+    Stores the weight pre-reshaped to the tap-major (C_out, k*C_in) GEMM
+    layout of conv1d_unfold, so serving pays no transpose. Scales come from
+    the fp32 weights (quantize before any bf16 cast). Returns
+    {"w_q", "w_scale", "b", "k"} — the "w_q" marker is what routes a conv
+    site to conv1d_unfold_w8a8."""
+    w = params["w"].astype(jnp.float32)         # (o, i, k)
+    o, i, k = w.shape
+    w2 = w.transpose(0, 2, 1).reshape(o, k * i)
+    amax = jnp.max(jnp.abs(w2), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w2 / scale), -127, 127).astype(jnp.int8)
+    # no static leaves in the pytree (jit/optimizer contract): k is derived
+    # from shapes at apply time (w_q.shape[1] // x.shape[1])
+    out = {"w_q": w_q, "w_scale": scale[:, 0]}
+    if params.get("b") is not None:
+        out["b"] = params["b"]
+    return out
+
+
+def conv1d_unfold_w8a8(qparams: dict, x: Array, padding=0,
+                       dilation: int = 1) -> Array:
+    """int8 x int8 -> int32 MXU lowering of the stride-1 unfold-GEMM conv.
+
+    Same contraction as conv1d_unfold, with the im2col buffer quantized to
+    int8 per output column (one max-abs scale per (batch, t) window, so every
+    tap inside a window shares its scale and the dequant stays a rank-1
+    outer product: y = int32_acc * w_scale[o] * x_scale[b,t]). Halves the
+    HBM traffic of the dominant (B, k*C, T) buffer AND doubles the MXU rate —
+    the two measured bottlenecks of the wide batched BigVGAN stages
+    (PROBE_VOC_B8_ROUTE). Serving-only: no VJP, vocoder-GAN training uses the
+    float paths."""
+    w_q = qparams["w_q"]
+    c_in = x.shape[1]
+    k = w_q.shape[1] // c_in
+    assert k * c_in == w_q.shape[1], (x.shape, w_q.shape)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    t_out = x.shape[-1] + padding[0] + padding[1] - (k - 1) * dilation
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), padding))
+    cols = jnp.concatenate(
+        [lax.dynamic_slice_in_dim(xp, j * dilation, t_out, axis=2)
+         for j in range(k)], axis=1)                      # (B, k*C_in, T)
+    amax = jnp.max(jnp.abs(cols), axis=1, keepdims=True)  # (B, 1, T)
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    cols_q = jnp.clip(jnp.round(cols / sx), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("ok,bkt->bot", w_q, cols_q,
+                     preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * sx
+         * qparams["w_scale"].astype(jnp.float32)[None, :, None])
+    if qparams.get("b") is not None:
+        y = y + qparams["b"].astype(jnp.float32)[None, :, None]
+    return y.astype(x.dtype)
+
+
 def conv_transpose1d(params: dict, x: Array, stride: int, padding: int = 0,
                      groups: int = 1, compute_dtype=None) -> Array:
     """torch.nn.ConvTranspose1d semantics: out = (T-1)*stride - 2*pad + k.

@@ -40,20 +40,25 @@ Array = jax.Array
 
 
 def _parse_quant_mode(mode: str):
-    """ "int8[:g<N>][,now2]" -> (group_size, skip_w2). Raises on anything
-    else so typos fail at set_serving_quant time, not inside a compile."""
+    """ "int8[:g<N>][,now2][,novoc]" -> (group_size, skip_w2, quant_voc).
+    Raises on anything else so typos fail at set_serving_quant time, not
+    inside a compile. quant_voc (default True) also w8a8-quantizes the wide
+    BigVGAN resblock conv GEMMs (models/bigvgan.py::quantize_bigvgan);
+    "novoc" keeps the vocoder float."""
     base, _, opts = mode.partition(":")
     if base != "int8":
         raise ValueError(f"unknown serving quant mode: {mode!r}")
-    group, skip_w2 = 0, False
+    group, skip_w2, quant_voc = 0, False, True
     for o in filter(None, opts.split(",")):
         if o.startswith("g") and o[1:].isdigit():
             group = int(o[1:])
         elif o == "now2":
             skip_w2 = True
+        elif o == "novoc":
+            quant_voc = False
         else:
             raise ValueError(f"unknown int8 variant option: {o!r} in {mode!r}")
-    return group, skip_w2
+    return group, skip_w2, quant_voc
 
 
 class MAA3System:
@@ -77,6 +82,8 @@ class MAA3System:
         self._jit_cache: dict = {}
         self._serving_dit = None  # lazily fused/cast copy (see serving_dit)
         self._serving_src = None  # identity of params["dit"] the copy is from
+        self._serving_voc = None  # lazily quantized vocoder (serving_vocoder)
+        self._serving_voc_src = None
         self.serve_quant: Optional[str] = None  # None | "int8" (set_serving_quant)
         self._serving_mesh = None  # tensor-parallel serving (shard_serving)
 
@@ -262,7 +269,7 @@ class MAA3System:
                 from maa3_tpu.ops.quant import quantize_dit_serving
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
-                group, skip_w2 = _parse_quant_mode(self.serve_quant)
+                group, skip_w2, _ = _parse_quant_mode(self.serve_quant)
                 if not tp and "wq" in p["blocks"]["attention"]:
                     p = fuse_dit_gemms(p)
                 p = quantize_dit_serving(p, group_size=group,
@@ -311,6 +318,7 @@ class MAA3System:
             _parse_quant_mode(mode)  # validate eagerly
         self.serve_quant = mode
         self._serving_dit = None
+        self._serving_voc = None
 
     # -- conditioning ------------------------------------------------------
 
@@ -493,9 +501,24 @@ class MAA3System:
         return self._jit("decode", run)(self.params["vae"], z,
                                         jnp.float32(self.scale_factor))
 
+    def serving_vocoder(self) -> dict:
+        """Vocoder params as `vocode` consumes them: in int8 serving mode
+        (unless ':novoc') the wide-stage resblock convs are w8a8-quantized
+        (models/bigvgan.py::quantize_bigvgan). Cache keyed on the identity of
+        params["vocoder"], mirroring serving_dit."""
+        if not self.serve_quant or not _parse_quant_mode(self.serve_quant)[2]:
+            return self.params["vocoder"]
+        if (self._serving_voc is None
+                or self._serving_voc_src is not self.params["vocoder"]):
+            from maa3_tpu.models.bigvgan import quantize_bigvgan
+            self._serving_voc_src = self.params["vocoder"]
+            self._serving_voc = quantize_bigvgan(self.params["vocoder"],
+                                                 self.voc_cfg)
+        return self._serving_voc
+
     def vocode(self, mel: Array) -> np.ndarray:
         def run(voc_params, m):
             return bigvgan_apply(voc_params, self.voc_cfg, m,
                                  compute_dtype=self.compute_dtype)
-        wav = self._jit("vocode", run)(self.params["vocoder"], mel)
+        wav = self._jit("vocode", run)(self.serving_vocoder(), mel)
         return np.asarray(wav)

@@ -44,11 +44,16 @@ from maa3_tpu.ops.conv import conv1d, conv_transpose1d_polyphase
 
 ITERS = int(os.environ.get("MAA3_ITERS", "4"))
 
-# (use_pallas, fused_cutoff, unfold_cutoff) per route
+# (use_pallas, fused_cutoff, unfold_cutoff, wide_unfold) per route
 ROUTES = {
-    "fused": (True, 192, 0),
-    "unfold": (False, 0, 192),
-    "xla": (False, 0, 0),
+    "fused": (True, 192, 0, False),    # round-3 batch>=4 auto
+    "unfold": (False, 0, 192, False),
+    "xla": (False, 0, 0, False),
+    "mix": (True, 192, 0, True),       # fused narrow + chunked-unfold wide
+    # int8: this stage's resblock convs w8a8-quantized (forces the unfold
+    # GEMM); Pallas one-pass AA for the snakes ("int8x": XLA AA instead)
+    "int8": (True, 0, 0, False),
+    "int8x": (False, 0, 0, False),
 }
 
 
@@ -140,18 +145,27 @@ def main():
                for j in range(num_kernels)]
 
         for route in routes:
-            up, fc, uc = ROUTES[route]
+            up, fc, uc, wu = ROUTES[route]
+            rbl_in = rbs
+            if route.startswith("int8"):
+                from maa3_tpu.ops.conv import quantize_conv_int8
+                rbl_in = [
+                    {**rb,
+                     "convs1": [quantize_conv_int8(c) for c in rb["convs1"]],
+                     "convs2": [quantize_conv_int8(c) for c in rb["convs2"]]}
+                    for rb in rbs]
 
-            def stage(rbl, z, up=up, fc=fc, uc=uc):
+            def stage(rbl, z, up=up, fc=fc, uc=uc, wu=wu):
                 acc = None
                 for j in range(num_kernels):
                     kk = cfg.resblock_kernel_sizes[j]
                     dd = cfg.resblock_dilation_sizes[j]
-                    o = _amp1_apply(rbl[j], z, kk, dd, cfg, DT, up, fc, uc)
+                    o = _amp1_apply(rbl[j], z, kk, dd, cfg, DT, up, fc, uc,
+                                    wu)
                     acc = o if acc is None else acc + o
                 return acc / num_kernels
 
-            t = program_time(chained_same_shape(stage), (rbs, y)) / ITERS
+            t = program_time(chained_same_shape(stage), (rbl_in, y)) / ITERS
             res[f"res{i}_{route}_ms"] = round(t * 1e3, 2)
             totals[route] += t
         res[f"res{i}_shape"] = [cout, t_len]
