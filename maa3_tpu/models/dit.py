@@ -355,14 +355,20 @@ def dit_sample_plan(params: dict, cfg: DiTConfig, t_ints: Array,
 
 def _block_apply_planned(p: dict, cfg: DiTConfig, x: Array, cos: Array,
                          sin: Array, mod: Array, yk: Array, yv: Array,
-                         x_mask, y_mask, compute_dtype) -> Array:
-    """_block_apply with the modulation + context K/V precomputed."""
+                         x_mask, y_mask, compute_dtype,
+                         return_stats: bool = False):
+    """_block_apply with the modulation + context K/V precomputed.
+
+    return_stats: also return per-channel amax of the three quantized-GEMM
+    inputs (wqkv in, w13 in, w2 in) — SmoothQuant calibration
+    (ops/quant.py::calibrate_dit_smooth)."""
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
         jnp.split(mod, 6, axis=-1))
 
+    x_attn_in = modulate(rms_norm(p["attention_norm"], x, cfg.norm_eps),
+                         shift_msa, scale_msa)
     h_attn = attention_apply(
-        p["attention"],
-        modulate(rms_norm(p["attention_norm"], x, cfg.norm_eps), shift_msa, scale_msa),
+        p["attention"], x_attn_in,
         cos, sin,
         y_kv=(yk, yv),
         x_mask=x_mask, y_mask=y_mask,
@@ -373,11 +379,19 @@ def _block_apply_planned(p: dict, cfg: DiTConfig, x: Array, cos: Array,
     )
     h = x + gate_msa[:, None, :].astype(x.dtype) * h_attn
 
-    h_ffn = feed_forward_apply(
-        p["feed_forward"],
-        modulate(rms_norm(p["ffn_norm"], h, cfg.norm_eps), shift_mlp, scale_mlp),
-        compute_dtype,
-    )
+    x_ffn_in = modulate(rms_norm(p["ffn_norm"], h, cfg.norm_eps),
+                        shift_mlp, scale_mlp)
+    ffn_out = feed_forward_apply(p["feed_forward"], x_ffn_in, compute_dtype,
+                                 return_stats=return_stats)
+    if return_stats:
+        h_ffn, prod_amax = ffn_out
+
+        def _amax(a):
+            return jnp.max(jnp.abs(a.astype(jnp.float32)), axis=(0, 1))
+        stats = {"attn_in": _amax(x_attn_in), "ffn_in": _amax(x_ffn_in),
+                 "ffn_prod": prod_amax}
+        return h + gate_mlp[:, None, :].astype(h.dtype) * h_ffn, stats
+    h_ffn = ffn_out
     return h + gate_mlp[:, None, :].astype(h.dtype) * h_ffn
 
 
@@ -385,9 +399,14 @@ def dit_apply_planned(params: dict, cfg: DiTConfig, x: Array, mods: Array,
                       final_mod: Array, yk: Array, yv: Array,
                       x_mask: Optional[Array] = None,
                       y_mask: Optional[Array] = None,
-                      compute_dtype=jnp.bfloat16) -> Array:
+                      compute_dtype=jnp.bfloat16,
+                      return_stats: bool = False):
     """dit_apply consuming one step's plan slice (mods: (depth, B, 6H),
-    final_mod: (B, 2H), yk/yv: (depth, B, Ly, kv_dim))."""
+    final_mod: (B, 2H), yk/yv: (depth, B, Ly, kv_dim)).
+
+    return_stats: also return per-depth per-channel amax of the quantized-
+    GEMM inputs ({"attn_in"/"ffn_in": (depth, H), "ffn_prod": (depth, H')})
+    for SmoothQuant calibration."""
     x = x.transpose(0, 2, 1)
     x = dense(params["proj_in"], x, compute_dtype)
     if cfg.fp32_residual:
@@ -398,13 +417,19 @@ def dit_apply_planned(params: dict, cfg: DiTConfig, x: Array, mods: Array,
 
     def body(h, xs):
         bp, mod, yk_d, yv_d = xs
-        h = _block_apply_planned(bp, cfg, h, cos, sin, mod, yk_d, yv_d,
-                                 x_mask, y_mask, compute_dtype)
-        return h, None
+        out = _block_apply_planned(bp, cfg, h, cos, sin, mod, yk_d, yv_d,
+                                   x_mask, y_mask, compute_dtype,
+                                   return_stats=return_stats)
+        if return_stats:
+            return out[0], out[1]
+        return out, None
 
-    x, _ = jax.lax.scan(body, x, (params["blocks"], mods, yk, yv))
+    x, stats = jax.lax.scan(body, x, (params["blocks"], mods, yk, yv))
 
     shift, scale = jnp.split(final_mod, 2, axis=-1)
     x = modulate(layer_norm(x.astype(jnp.float32), eps=1e-6), shift, scale)
     x = dense(params["final_layer"]["linear"], x)
-    return x.transpose(0, 2, 1).astype(jnp.float32)
+    x = x.transpose(0, 2, 1).astype(jnp.float32)
+    if return_stats:
+        return x, stats
+    return x

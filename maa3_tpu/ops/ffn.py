@@ -40,7 +40,8 @@ def feed_forward_init(key: Array, dim: int, hidden_dim: Optional[int] = None,
     }
 
 
-def feed_forward_apply(params: dict, x: Array, compute_dtype=None) -> Array:
+def feed_forward_apply(params: dict, x: Array, compute_dtype=None,
+                       return_stats: bool = False):
     from jax.ad_checkpoint import checkpoint_name
     if "w13" in params:
         # serving-time fused gate+up projection (utils.nprand.fuse_dit_gemms)
@@ -54,5 +55,12 @@ def feed_forward_apply(params: dict, x: Array, compute_dtype=None) -> Array:
     # work (models/dit.py remat_policy)
     x1 = checkpoint_name(x1, "ffn_h1")
     x3 = checkpoint_name(x3, "ffn_h3")
-    return checkpoint_name(dense(params["w2"], silu(x1) * x3, compute_dtype),
-                           "ffn_out")
+    prod = silu(x1) * x3
+    out = checkpoint_name(dense(params["w2"], prod, compute_dtype), "ffn_out")
+    if return_stats:
+        # per-channel amax of the w2 input (SwiGLU product) — SmoothQuant
+        # calibration (ops/quant.py::smooth_migrate_dit)
+        prod_amax = jnp.max(jnp.abs(prod.astype(jnp.float32)),
+                            axis=tuple(range(prod.ndim - 1)))
+        return out, prod_amax
+    return out

@@ -99,6 +99,151 @@ def dense_w8a8(params: dict, x: Array, compute_dtype=None) -> Array:
     return y
 
 
+def _smooth_scales(a_x: Array, a_w: Array, alpha: float) -> Array:
+    """SmoothQuant migration scales s_j = amax(X_j)^a / amax(W_j)^(1-a),
+    guarded for dead channels and clipped to a sane range."""
+    s = (jnp.power(jnp.maximum(a_x, 1e-12), alpha)
+         / jnp.power(jnp.maximum(a_w, 1e-12), 1.0 - alpha))
+    s = jnp.where(a_x > 1e-12, s, 1.0)
+    return jnp.clip(s, 1e-2, 1e2)
+
+
+def _in_amax(w: Array) -> Array:
+    """Per-input-channel weight amax of a (..., in, out) matmul weight."""
+    return jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1)
+
+
+def calibrate_dit_smooth(dit_params: dict, cfg, x0: Array, context: Array,
+                         uncond: Array, guidance_scale: float = 5.0,
+                         steps: int = 25,
+                         compute_dtype=jnp.bfloat16) -> dict:
+    """Run the real CFG Euler ODE once, collecting per-(block, channel) amax
+    of the three quantized-GEMM inputs (wqkv in, w13 in, w2 in = SwiGLU
+    product) across all steps. Returns {"attn_in"/"ffn_in": (depth, H),
+    "ffn_prod": (depth, H')} numpy-backed stats for smooth_migrate_dit.
+
+    One jitted per-step program (same shapes every step); the 24-iteration
+    host loop is calibration-only."""
+    import numpy as np
+
+    from maa3_tpu.diffusion import cfm
+    from maa3_tpu.models.dit import dit_apply_planned, dit_sample_plan
+
+    ctx_in = jnp.concatenate([uncond, context], axis=0)
+    t_ints = cfm.planned_t_ints(steps)
+    plan = dit_sample_plan(dit_params, cfg, t_ints, ctx_in,
+                           compute_dtype=compute_dtype)
+    t_grid = np.asarray(cfm.euler_t_grid(steps))
+    gs = float(guidance_scale)
+
+    @jax.jit
+    def step_fn(p, x, mod, final, yk, yv, dt):
+        x_in = jnp.concatenate([x, x], axis=0)
+        e, st = dit_apply_planned(p, cfg, x_in, mod, final, yk, yv,
+                                  compute_dtype=compute_dtype,
+                                  return_stats=True)
+        e_uc, e_c = jnp.split(e, 2, axis=0)
+        v = e_uc + gs * (e_c - e_uc)
+        return x + dt * v, st
+
+    x, agg = x0, None
+    for i in range(steps - 1):
+        x, st = step_fn(dit_params, x, plan["mods"][i], plan["final"][i],
+                        plan["yk"], plan["yv"],
+                        jnp.float32(t_grid[i + 1] - t_grid[i]))
+        st = jax.tree.map(np.asarray, st)
+        agg = st if agg is None else jax.tree.map(np.maximum, agg, st)
+    return agg
+
+
+def smooth_migrate_dit(dit_params: dict, stats: dict,
+                       alpha: float = 0.5) -> dict:
+    """SmoothQuant-style scale migration, folded entirely into existing
+    weights (ZERO runtime cost — no new ops):
+
+      wqkv input x/s1:  attention_norm.weight /= s1, adaLN shift_msa
+                        out-columns /= s1, wqkv input rows *= s1
+      w13 input  x/s2:  ffn_norm.weight /= s2, adaLN shift_mlp /= s2,
+                        w1/w3 input rows *= s2
+      w2 input   x/s3:  w3 OUTPUT columns /= s3 (the SwiGLU product scales
+                        linearly in x3), w2 input rows *= s3
+
+    Exact in real arithmetic (modulate(x,(shift)/s,scale) == modulate(x,
+    shift,scale)/s channel-wise since x*(1+scale) is elementwise); the
+    quantized GEMMs then see per-channel-equalized activations, which is
+    where per-token max-abs quantization loses accuracy on outlier channels.
+    Apply BEFORE quantize_dit_serving, on fused or unfused layouts.
+    Ref: the int8 drift frontier DRIFT_R03 (per-channel 4.1e-3 vs g128
+    2.1e-3 at +60 % latency — this targets g128 accuracy at zero cost)."""
+    p = dict(dit_params)
+    blocks = dict(p["blocks"])
+    att = dict(blocks["attention"])
+    ffn = dict(blocks["feed_forward"])
+    h_dim = blocks["attention_norm"]["weight"].shape[-1]
+
+    # --- s1: wqkv input -----------------------------------------------------
+    if "wqkv" in att:
+        a_w1 = _in_amax(att["wqkv"]["w"])
+    else:
+        a_w1 = jnp.maximum(jnp.maximum(_in_amax(att["wq"]["w"]),
+                                       _in_amax(att["wk"]["w"])),
+                           _in_amax(att["wv"]["w"]))
+    s1 = _smooth_scales(jnp.asarray(stats["attn_in"]), a_w1, alpha)
+    for k in ("wqkv",) if "wqkv" in att else ("wq", "wk", "wv"):
+        att[k] = {**att[k], "w": att[k]["w"] * s1[..., :, None].astype(att[k]["w"].dtype)}
+    blocks["attention"] = att
+    blocks["attention_norm"] = {
+        "weight": blocks["attention_norm"]["weight"] / s1}
+
+    # --- s2: w1/w3 input; s3: w2 input (SwiGLU product) --------------------
+    if "w13" in ffn or "w1" in ffn:  # dense SwiGLU (MoE experts stay as-is)
+        if "w13" in ffn:
+            a_w2 = _in_amax(ffn["w13"]["w"])
+        else:
+            a_w2 = jnp.maximum(_in_amax(ffn["w1"]["w"]),
+                               _in_amax(ffn["w3"]["w"]))
+        s2 = _smooth_scales(jnp.asarray(stats["ffn_in"]), a_w2, alpha)
+        s3 = _smooth_scales(jnp.asarray(stats["ffn_prod"]),
+                            _in_amax(ffn["w2"]["w"]), alpha)
+        if "w13" in ffn:
+            w = ffn["w13"]["w"]
+            hp = w.shape[-1] // 2
+            w = w * s2[..., :, None].astype(w.dtype)
+            w = w.at[..., :, hp:].divide(s3[..., None, :].astype(w.dtype))
+            ffn["w13"] = {**ffn["w13"], "w": w}
+        else:
+            ffn["w1"] = {**ffn["w1"],
+                         "w": ffn["w1"]["w"] * s2[..., :, None].astype(ffn["w1"]["w"].dtype)}
+            w3 = ffn["w3"]["w"] * s2[..., :, None].astype(ffn["w3"]["w"].dtype)
+            w3 = w3 / s3[..., None, :].astype(w3.dtype)
+            ffn["w3"] = {**ffn["w3"], "w": w3}
+        ffn["w2"] = {**ffn["w2"],
+                     "w": ffn["w2"]["w"] * s3[..., :, None].astype(ffn["w2"]["w"].dtype)}
+        blocks["feed_forward"] = ffn
+        blocks["ffn_norm"] = {"weight": blocks["ffn_norm"]["weight"] / s2}
+    else:
+        s2 = None
+
+    # --- adaLN shift chunks (layout: [shift_msa, scale_msa, gate_msa,
+    # shift_mlp, scale_mlp, gate_mlp] along the 6H out axis) ----------------
+    ada = dict(blocks["adaLN"])
+    w = ada["w"]
+    w = w.at[..., :, 0:h_dim].divide(s1[..., None, :].astype(w.dtype))
+    if s2 is not None:
+        w = w.at[..., :, 3 * h_dim:4 * h_dim].divide(
+            s2[..., None, :].astype(w.dtype))
+    ada["w"] = w
+    if ada.get("b") is not None:
+        b = ada["b"]
+        b = b.at[..., 0:h_dim].divide(s1.astype(b.dtype))
+        if s2 is not None:
+            b = b.at[..., 3 * h_dim:4 * h_dim].divide(s2.astype(b.dtype))
+        ada["b"] = b
+    blocks["adaLN"] = ada
+    p["blocks"] = blocks
+    return p
+
+
 def quantize_dit_serving(dit_params: dict, group_size: int = 0,
                          skip_w2: bool = False) -> dict:
     """Quantize the per-ODE-step fat GEMMs of a DiT param tree to int8:

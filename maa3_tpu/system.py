@@ -40,15 +40,17 @@ Array = jax.Array
 
 
 def _parse_quant_mode(mode: str):
-    """ "int8[:g<N>][,now2][,novoc]" -> (group_size, skip_w2, quant_voc).
-    Raises on anything else so typos fail at set_serving_quant time, not
-    inside a compile. quant_voc (default True) also w8a8-quantizes the wide
-    BigVGAN resblock conv GEMMs (models/bigvgan.py::quantize_bigvgan);
-    "novoc" keeps the vocoder float."""
+    """ "int8[:g<N>][,now2][,novoc][,smooth]" ->
+    (group_size, skip_w2, quant_voc, smooth). Raises on anything else so
+    typos fail at set_serving_quant time, not inside a compile. quant_voc
+    (default True) also w8a8-quantizes the wide BigVGAN resblock conv GEMMs
+    (models/bigvgan.py::quantize_bigvgan); "novoc" keeps the vocoder float.
+    "smooth" applies SmoothQuant scale migration folded into the weights
+    (zero runtime cost; needs a prior calibrate_smooth(...) call)."""
     base, _, opts = mode.partition(":")
     if base != "int8":
         raise ValueError(f"unknown serving quant mode: {mode!r}")
-    group, skip_w2, quant_voc = 0, False, True
+    group, skip_w2, quant_voc, smooth = 0, False, True, False
     for o in filter(None, opts.split(",")):
         if o.startswith("g") and o[1:].isdigit():
             group = int(o[1:])
@@ -56,9 +58,11 @@ def _parse_quant_mode(mode: str):
             skip_w2 = True
         elif o == "novoc":
             quant_voc = False
+        elif o == "smooth":
+            smooth = True
         else:
             raise ValueError(f"unknown int8 variant option: {o!r} in {mode!r}")
-    return group, skip_w2, quant_voc
+    return group, skip_w2, quant_voc, smooth
 
 
 class MAA3System:
@@ -84,6 +88,7 @@ class MAA3System:
         self._serving_src = None  # identity of params["dit"] the copy is from
         self._serving_voc = None  # lazily quantized vocoder (serving_vocoder)
         self._serving_voc_src = None
+        self._smooth_stats = None  # SmoothQuant calibration (calibrate_smooth)
         self.serve_quant: Optional[str] = None  # None | "int8" (set_serving_quant)
         self._serving_mesh = None  # tensor-parallel serving (shard_serving)
 
@@ -269,9 +274,18 @@ class MAA3System:
                 from maa3_tpu.ops.quant import quantize_dit_serving
                 from maa3_tpu.utils.nprand import (cast_matmul_weights,
                                                    fuse_dit_gemms)
-                group, skip_w2, _ = _parse_quant_mode(self.serve_quant)
+                group, skip_w2, _, smooth = _parse_quant_mode(
+                    self.serve_quant)
                 if not tp and "wq" in p["blocks"]["attention"]:
                     p = fuse_dit_gemms(p)
+                if smooth:
+                    if self._smooth_stats is None:
+                        raise RuntimeError(
+                            "serve_quant 'int8:smooth' needs activation "
+                            "stats — call system.calibrate_smooth(cond, "
+                            "uncond) once before sampling")
+                    from maa3_tpu.ops.quant import smooth_migrate_dit
+                    p = smooth_migrate_dit(p, self._smooth_stats)
                 p = quantize_dit_serving(p, group_size=group,
                                          skip_w2=skip_w2)
                 p = cast_matmul_weights(p, jnp.bfloat16)
@@ -319,6 +333,29 @@ class MAA3System:
         self.serve_quant = mode
         self._serving_dit = None
         self._serving_voc = None
+
+    def calibrate_smooth(self, cond: Array, uncond: Array,
+                         key: Optional[Array] = None, timesteps: int = 25,
+                         scale: float = 5.0, shape=None) -> None:
+        """One-time SmoothQuant calibration for 'int8:smooth': runs the real
+        CFG ODE once on `cond`/`uncond`, records per-(block, channel) amax of
+        the quantized-GEMM inputs, and invalidates the serving copy so the
+        next sample uses migrated weights (ops/quant.py::smooth_migrate_dit;
+        zero runtime cost — everything folds into existing weights)."""
+        if self.spec.backbone_kind == "video_moe_dit":
+            raise NotImplementedError(
+                "smooth migration targets the text DiT serving path")
+        from maa3_tpu.ops.quant import calibrate_dit_smooth
+        b = cond.shape[0]
+        if shape is None:
+            shape = (b, self.spec.mel_dim, self.spec.mel_length)
+        x0 = jax.random.normal(key if key is not None else jax.random.PRNGKey(0),
+                               shape, jnp.float32)
+        self._smooth_stats = calibrate_dit_smooth(
+            self.params["dit"], self._serving_dit_cfg(), x0, cond, uncond,
+            guidance_scale=scale, steps=timesteps,
+            compute_dtype=self.compute_dtype)
+        self._serving_dit = None
 
     # -- conditioning ------------------------------------------------------
 

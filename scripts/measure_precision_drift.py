@@ -131,6 +131,28 @@ def main():
             base16, params=params8,
             dit_cfg=dataclasses.replace(dit, fp32_residual=True))
 
+    # SmoothQuant scale migration (round 4, VERDICT #3): calibrate one ODE
+    # on this context, fold the equalization into the weights (zero runtime
+    # cost), then per-channel-quantize as usual. alpha sweep 0.5 / 0.75.
+    from maa3_tpu.ops.quant import calibrate_dit_smooth, smooth_migrate_dit
+    fused32 = fuse_dit_gemms(pipe32.params["dit"])
+    serving_cfg = dataclasses.replace(dit, fp32_residual=True)
+    x0_cal = jax.random.normal(k, (1, dit.in_channels, latent_len),
+                               jnp.float32)  # same draw as pipe.generate(k)
+    stats = calibrate_dit_smooth(fused32, serving_cfg, x0_cal, ctx, uc,
+                                 steps=25, compute_dtype=jnp.bfloat16)
+    for tag, alpha, kw in (("smooth", 0.5, {}),
+                           ("smooth75", 0.75, {}),
+                           ("smooth,now2", 0.5, {"skip_w2": True})):
+        params8 = dict(pipe32.params)
+        params8["dit"] = cast_matmul_weights(
+            quantize_dit_serving(
+                smooth_migrate_dit(fused32, stats, alpha=alpha), **kw),
+            jnp.bfloat16)
+        modes[f"int8:{tag}+fp32_residual"] = dataclasses.replace(
+            base16, params=params8,
+            dit_cfg=dataclasses.replace(dit, fp32_residual=True))
+
     out = {"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
            "latent_rms": float(np.sqrt((z32 ** 2).mean()))}
     # how far DEFAULT-precision fp32 sits from true fp32 (the quiet

@@ -59,10 +59,13 @@ def parse_args():
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--fp32", action="store_true",
                    help="run the DiT in fp32 (parity mode)")
-    p.add_argument("--quant", type=str, default="", choices=["", "int8"],
-                   help="serving quantization: int8 runs the per-step DiT "
+    p.add_argument("--quant", type=str, default="",
+                   help="serving quantization: 'int8' runs the per-step DiT "
                         "GEMMs w8a8 on the MXU (~19%% faster ODE, ~2x the "
-                        "bf16 mode's mel drift)")
+                        "bf16 mode's mel drift) and the wide vocoder stages; "
+                        "variants: int8:g128 / :now2 / :novoc / :smooth "
+                        "(SmoothQuant migration, auto-calibrated on the "
+                        "first prompt)")
     p.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel serving over n_model chips "
                         "(devices reshape to (n_dev/n_model, n_model); "
@@ -154,6 +157,12 @@ def main():
 
     results = []
     chunks = [prompts[i:i + bs] for i in range(0, len(prompts), bs)]
+    if opt.quant and "smooth" in opt.quant:
+        # SmoothQuant: one calibration ODE on the first prompt's conditioning
+        c0 = system.get_learned_conditioning(
+            {"ori_caption": [prompts[0]["ori_caption"]] * per_launch,
+             "struct_caption": [prompts[0]["struct_caption"]] * per_launch})
+        system.calibrate_smooth(c0, uc, timesteps=steps, scale=opt.scale)
     for i, chunk in enumerate(chunks):
         pad = bs - len(chunk) if bs > 1 else 0
         launch = chunk + [chunk[-1]] * pad  # ragged tail: repeat, drop later
