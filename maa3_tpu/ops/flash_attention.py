@@ -221,9 +221,8 @@ def _bwd_dkv_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
         dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_fused_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
-                      k_ref, v_ref, dq_ref, dk_ref, dv_ref,
-                      *, scale: float, nq: int, g: int, block_q: int):
+def _bwd_fused_kernel(*refs, scale: float, nq: int, g: int, block_q: int,
+                      masked: bool):
     """Single-pass backward: grid (BH/g, nk, nq), q innermost. ONE
     score + dp computation feeds dv, dk AND dq — the split kernels above
     each recompute both (7 (bq,bk)-sized matmuls per block pair vs 5 here)
@@ -234,7 +233,19 @@ def _bwd_fused_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
     - dq: a full-length fp32 output block whose index map is constant per
       gb (every step of the group maps to it); each (j, i) step adds its
       ds·k contribution at the dynamic row offset i*block_q
-    Outputs are fp32 and cast to the input dtypes outside (XLA fuses)."""
+    Outputs are fp32 and cast to the input dtypes outside (XLA fuses).
+
+    masked=False (the TRAINING shape: callers pass no key mask) drops the
+    mask operand + per-tile where entirely — correct with zero-padded k/v:
+    padded keys see s=0 so p=exp2(-lse)>0, but their dq term is ds @ k_pad
+    = 0 (k rows are zeros) and their dk/dv rows are sliced away by the
+    wrapper; padded QUERY rows carry do=0 so they add nothing to dk/dv.
+    This also frees block_k from the mask-row 128-multiple constraint
+    (seq 1248: bk 208x6 exact instead of 256x5 padded to 1280)."""
+    refs = list(refs)
+    mask_ref = refs.pop(0) if masked else None
+    (lse_ref, delta_ref, q_ref, do_ref, k_ref, v_ref,
+     dq_ref, dk_ref, dv_ref) = refs
     jb = pl.program_id(1)
     ib = pl.program_id(2)
 
@@ -254,9 +265,10 @@ def _bwd_fused_kernel(mask_ref, lse_ref, delta_ref, q_ref, do_ref,
         v = v_ref[gi]
         s2 = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        valid = mask_ref[gi] > 0          # (1, bk)
         p = jnp.exp2(s2 - lse_ref[gi] * _LOG2E)
-        p = jnp.where(valid, p, 0.0)      # see dkv kernel comment
+        if masked:
+            valid = mask_ref[gi] > 0      # (1, bk)
+            p = jnp.where(valid, p, 0.0)  # see dkv kernel comment
         pq = p.astype(v_ref.dtype)
         dv_ref[gi] += jax.lax.dot_general(            # pq^T do -> (bk, d)
             pq, do, (((0,), (0,)), ((), ())),
@@ -362,12 +374,12 @@ def _flash_core_fwd(q, k, v, mask, scale, block_q, block_k, interpret):
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, g):
     import numpy as np
     q, k, v, mask, o, lse = res
-    if mask is None:
-        mask = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
-        dmask = None
-    else:
-        # integer mask: cotangent must be float0 (no gradient flows to it)
-        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    # integer mask: cotangent must be float0 (no gradient flows to it);
+    # mask=None stays None — the backward kernels have maskless variants
+    # (correct with zero-padded k/v, and free of the 128-multiple mask-row
+    # block constraint: the TRAINING fast path)
+    dmask = (None if mask is None
+             else np.zeros(mask.shape, jax.dtypes.float0))
     dq, dk, dv = _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale,
                                    block_q, block_k, interpret)
     return dq, dk, dv, dmask
@@ -571,9 +583,10 @@ def _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale: float,
                       interpret: bool):
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    masked = mask is not None
     block_q, block_k, lq_pad, lk_pad = _resolve_blocks(
         lq, lk, block_q, block_k, _BLOCK_Q_BWD_CAP, _BLOCK_K_BWD_CAP,
-        row_k=True)
+        row_k=masked)
     # lse was produced with the FWD block size — it is dense (BH, lq_fwd, 1);
     # re-pad to this pass's lq_pad if they differ (padded rows have zero do,
     # so they contribute nothing to dk/dv and their dq rows are sliced away)
@@ -587,7 +600,7 @@ def _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale: float,
     kp = _pad_l(k, lk_pad)
     vp = _pad_l(v, lk_pad)
     dop = _pad_l(g, lq_pad)
-    maskp = _pad_mask(mask, b, h, lk_pad)
+    maskp = _pad_mask(mask, b, h, lk_pad) if masked else None
 
     # delta_i = rowsum(do_i * o_i) — the softmax-Jacobian mean term; cheap
     # elementwise XLA, padded rows contribute 0 (do is zero-padded)
@@ -618,22 +631,27 @@ def _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale: float,
                    and per_pair * grp_f * 2 + temps <= _VMEM_BUDGET):
                 grp_f *= 2
     if grp_f:
+        in_specs = [  # [mask,] lse, delta, q, do, k, v
+            pl.BlockSpec((grp_f, block_q, 1), lambda gb, j, i: (gb, i, 0)),
+            pl.BlockSpec((grp_f, block_q, 1), lambda gb, j, i: (gb, i, 0)),
+            pl.BlockSpec((grp_f, block_q, d), lambda gb, j, i: (gb, i, 0)),
+            pl.BlockSpec((grp_f, block_q, d), lambda gb, j, i: (gb, i, 0)),
+            pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
+            pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
+        ]
+        operands = [lse, delta, qp, dop, kp, vp]
+        if masked:
+            in_specs.insert(0, pl.BlockSpec((grp_f, 1, block_k),
+                                            lambda gb, j, i: (gb, 0, j)))
+            operands.insert(0, maskp)
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, scale=scale, nq=nq,
-                              g=grp_f, block_q=block_q),
+                              g=grp_f, block_q=block_q, masked=masked),
             out_shape=[jax.ShapeDtypeStruct((b * h, lq_pad, d), jnp.float32),
                        jax.ShapeDtypeStruct((b * h, lk_pad, d), jnp.float32),
                        jax.ShapeDtypeStruct((b * h, lk_pad, d), jnp.float32)],
             grid=(b * h // grp_f, nk, nq),
-            in_specs=[  # mask, lse, delta, q, do, k, v
-                pl.BlockSpec((grp_f, 1, block_k), lambda gb, j, i: (gb, 0, j)),
-                pl.BlockSpec((grp_f, block_q, 1), lambda gb, j, i: (gb, i, 0)),
-                pl.BlockSpec((grp_f, block_q, 1), lambda gb, j, i: (gb, i, 0)),
-                pl.BlockSpec((grp_f, block_q, d), lambda gb, j, i: (gb, i, 0)),
-                pl.BlockSpec((grp_f, block_q, d), lambda gb, j, i: (gb, i, 0)),
-                pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
-                pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((grp_f, lq_pad, d), lambda gb, j, i: (gb, 0, 0)),
                 pl.BlockSpec((grp_f, block_k, d), lambda gb, j, i: (gb, j, 0)),
@@ -642,11 +660,18 @@ def _flash_pallas_bwd(q, k, v, mask, o, lse, g, scale: float,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary", "arbitrary")),
             interpret=interpret,
-        )(maskp, lse, delta, qp, dop, kp, vp)
+        )(*operands)
         dq = dq.reshape(b, h, lq_pad, d)[:, :, :lq, :].astype(q.dtype)
         dk = dk.reshape(b, h, lk_pad, d)[:, :, :lk, :].astype(k.dtype)
         dv = dv.reshape(b, h, lk_pad, d)[:, :, :lk, :].astype(v.dtype)
         return dq, dk, dv
+
+    if not masked:
+        # split fallback keeps the mask-carrying kernels (and their 128-
+        # multiple key blocks): re-enter with an explicit all-ones mask
+        return _flash_pallas_bwd(q, k, v, jnp.ones((b, lk), jnp.int32),
+                                 o, lse, g, scale, block_q, block_k,
+                                 interpret)
 
     grp = _pick_group(b * h, block_q, block_k, d,
                       n_bq_bufs=3, n_bk_bufs=4, n_temps=4, n_acc_bk=2)

@@ -178,3 +178,55 @@ def test_flash_trains_in_model():
     flat = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(a)).all() for a in flat)
     assert any(float(jnp.abs(a).max()) > 0 for a in flat)
+
+
+def test_maskless_bwd_matches_dense():
+    """Training callers pass NO key mask; the backward then runs the
+    maskless fused kernel (no mask operand, free block_k granularity) whose
+    correctness with zero-padded tails rests on k_pad rows being zero.
+    Gradients must match dense autodiff, including at a length whose 16-pad
+    leaves a padded tail (l=200 -> 208)."""
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    for l in (64, 200):
+        q = jax.random.normal(kq, (2, 2, l, 32))
+        k = jax.random.normal(kk, (2, 2, l, 32))
+        v = jax.random.normal(kv, (2, 2, l, 32))
+
+        g = jax.grad(lambda a, b_, c: jnp.sum(flash_attention(
+            a, b_, c, interpret=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda a, b_, c: jnp.sum(_dense_ref(
+            a, b_, c) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_maskless_bwd_matches_ones_mask():
+    """Maskless backward == all-ones-mask backward (the pre-round-4 path),
+    at a block-padding length and with forced small blocks so multiple
+    k-blocks (including a padded one) are exercised."""
+    import os
+    key = jax.random.PRNGKey(12)
+    kq, kk, kv = jax.random.split(key, 3)
+    l = 200
+    q = jax.random.normal(kq, (1, 2, l, 32))
+    k = jax.random.normal(kk, (1, 2, l, 32))
+    v = jax.random.normal(kv, (1, 2, l, 32))
+    mask = jnp.ones((1, l), bool)
+    os.environ["MAA3_FLASH_BQ_BWD_CAP"] = "64"
+    os.environ["MAA3_FLASH_BK_BWD_CAP"] = "128"
+    try:
+        import importlib
+        from maa3_tpu.ops import flash_attention as fa
+        importlib.reload(fa)
+        g0 = jax.grad(lambda a: jnp.sum(fa.flash_attention(
+            a, k, v, interpret=True) ** 2))(q)
+        g1 = jax.grad(lambda a: jnp.sum(fa.flash_attention(
+            a, k, v, mask=mask, interpret=True) ** 2))(q)
+    finally:
+        del os.environ["MAA3_FLASH_BQ_BWD_CAP"]
+        del os.environ["MAA3_FLASH_BK_BWD_CAP"]
+        importlib.reload(fa)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-5)
