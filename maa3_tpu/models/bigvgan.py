@@ -181,14 +181,24 @@ def _auto_pallas_aa(pallas_aa, batch: int) -> bool:
 
 
 def _auto_wide_unfold(batch: int) -> bool:
-    """Batched wide-stage routing (PROBE_VOC_B8_ROUTE): at batch >= 4 the
-    chunked unfold-GEMM beats lax.conv on the >192-channel stages (res0
-    -12 %, res1 -16 % at b8) while narrow stages keep their fused path.
-    MAA3_WIDE_UNFOLD=0/1 overrides; CPU keeps the stock lowering."""
+    """Wide-stage unfold routing A/B flag (MAA3_WIDE_UNFOLD=0/1). Default
+    OFF: the round-4 per-stage probe shows the k-fold im2col duplication
+    LOSES to lax.conv at >=384 channels at b8 (res0: 42.6 vs 36.3 ms) —
+    round 3's apparent wide-stage 'unfold win' was actually the XLA-AA vs
+    Pallas-AA difference (see _pallas_aa_max_ch)."""
     env = os.environ.get("MAA3_WIDE_UNFOLD")
     if env is not None:
         return env.strip().lower() not in ("0", "false", "off", "no", "")
-    return jax.default_backend() != "cpu" and batch >= 4
+    return False
+
+
+def _pallas_aa_max_ch() -> int:
+    """Channel cutoff for the Pallas one-pass AA-snake at batch >= 4: the
+    measured b8 mix (PROBE_VOC_B8_ROUTE r03 + r04 re-read) keeps the
+    one-pass kernel on the narrow stages but prefers XLA's shift-add AA on
+    the wide ones (res0 768ch: 31.8 XLA-AA vs 36.3 Pallas-AA ms; res1
+    384ch: 63.8 vs 75.9). MAA3_PALLAS_AA_MAX_CH overrides."""
+    return int(os.environ.get("MAA3_PALLAS_AA_MAX_CH", "192"))
 
 
 def quantize_bigvgan(params: dict, cfg: BigVGANConfig,
@@ -273,12 +283,22 @@ def _conv_site(p: dict, x: Array, k: int, d: int, compute_dtype,
             while b % bchunk:
                 bchunk -= 1
             if quant:
-                from maa3_tpu.ops.conv import conv1d_unfold_w8a8
+                from maa3_tpu.ops.conv import (conv1d_tapgemm_w8a8,
+                                               conv1d_unfold_w8a8)
                 xq = (x.astype(compute_dtype)
                       if compute_dtype is not None else x)
-
-                def fn(z):
-                    return conv1d_unfold_w8a8(p, z, padding=pad, dilation=d)
+                # wide channels: k shifted tap-GEMMs (no im2col duplication
+                # — the unfold form loses from ~256ch up, PROBE r04)
+                tap_min = int(os.environ.get(
+                    "MAA3_VOC_QUANT_TAPGEMM_MIN_CH", "256"))
+                if x.shape[1] >= tap_min:
+                    def fn(z):
+                        return conv1d_tapgemm_w8a8(p, z, padding=pad,
+                                                   dilation=d)
+                else:
+                    def fn(z):
+                        return conv1d_unfold_w8a8(p, z, padding=pad,
+                                                  dilation=d)
                 x = xq
             else:
                 def fn(z):
@@ -318,7 +338,8 @@ def _amp1_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 wide_unfold: bool = False) -> Array:
     fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff
              and "w_q" not in p["convs1"][0])  # quantized convs: GEMM path
-    aa = _make_aa(cfg, use_pallas, compute_dtype)
+    aa = _make_aa(cfg, use_pallas and x.shape[1] <= _pallas_aa_max_ch(),
+                  compute_dtype)
     # activations alternate [::2] / [1::2] (models.py:75)
     for i, d in enumerate(dilations):
         if fused:
@@ -351,7 +372,8 @@ def _amp2_apply(p: dict, x: Array, k: int, dilations: Sequence[int],
                 wide_unfold: bool = False) -> Array:
     fused = (cfg.activation != "lrelu" and x.shape[1] <= fused_cutoff
              and "w_q" not in p["convs"][0])
-    aa = _make_aa(cfg, use_pallas, compute_dtype)
+    aa = _make_aa(cfg, use_pallas and x.shape[1] <= _pallas_aa_max_ch(),
+                  compute_dtype)
     for i, d in enumerate(dilations):
         if fused:
             xt = _fused_site(p["acts"][i], p["convs"][i],

@@ -145,6 +145,45 @@ def conv1d_unfold_w8a8(qparams: dict, x: Array, padding=0,
     return y.astype(x.dtype)
 
 
+def conv1d_tapgemm_w8a8(qparams: dict, x: Array, padding=0,
+                        dilation: int = 1) -> Array:
+    """int8 conv as k shifted tap-GEMMs — the WIDE-channel w8a8 lowering.
+
+    At C >= ~384 the unfold-GEMM's k-fold im2col duplication costs more
+    than it saves (measured: res0 768ch b8 63 ms unfold-int8 vs 36 ms
+    bf16 lax.conv); here x is quantized ONCE per (batch, timestep) column
+    and each tap j contributes W_j_q @ x_q[:, t + j*d] as a standard int8
+    MXU GEMM, dequantized per tap with its own shifted activation-scale
+    slice (so granularity matches the per-window unfold scheme). No im2col
+    buffer: the int8 x_q (B, C, T) is read k times from cache-resident HBM.
+    Uses the same {"w_q" (C_out, k*C_in) tap-major, "w_scale", "b"} params
+    as conv1d_unfold_w8a8 (quantize_conv_int8)."""
+    w_q = qparams["w_q"]
+    c_in = x.shape[1]
+    k = w_q.shape[1] // c_in
+    c_out = w_q.shape[0]
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    t_out = x.shape[-1] + padding[0] + padding[1] - (k - 1) * dilation
+    xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), padding))
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)       # (B, 1, Tp)
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    w_taps = w_q.reshape(c_out, k, c_in)
+    y = None
+    for j in range(k):
+        xs = lax.dynamic_slice_in_dim(x_q, j * dilation, t_out, axis=2)
+        ss = lax.dynamic_slice_in_dim(sx, j * dilation, t_out, axis=2)
+        acc = jnp.einsum("oc,bct->bot", w_taps[:, j], xs,
+                         preferred_element_type=jnp.int32)
+        contrib = acc.astype(jnp.float32) * ss
+        y = contrib if y is None else y + contrib
+    y = y * qparams["w_scale"].astype(jnp.float32)[None, :, None]
+    if qparams.get("b") is not None:
+        y = y + qparams["b"].astype(jnp.float32)[None, :, None]
+    return y.astype(x.dtype)
+
+
 def conv_transpose1d(params: dict, x: Array, stride: int, padding: int = 0,
                      groups: int = 1, compute_dtype=None) -> Array:
     """torch.nn.ConvTranspose1d semantics: out = (T-1)*stride - 2*pad + k.

@@ -134,3 +134,43 @@ def test_system_serving_vocoder_cache():
         assert sys_.serving_vocoder() is not v1  # identity-keyed invalidation
     finally:
         del os.environ["MAA3_VOC_QUANT_MIN_CH"]
+
+
+def test_tapgemm_close_to_fp32_and_unfold():
+    """The wide-channel tap-GEMM int8 lowering shares the weight layout with
+    the unfold form but quantizes activations per COLUMN of x (one scale per
+    (b, t) position, each tap dequantized with its shifted scale slice)
+    instead of per unfold window — so the two agree statistically (both are
+    ~1% int8 error around fp32), not bitwise."""
+    from maa3_tpu.ops.conv import conv1d_tapgemm_w8a8
+
+    p = conv1d_init(jax.random.PRNGKey(3), 16, 16, 7)
+    q = quantize_conv_int8(p)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 200), jnp.float32)
+    ref = conv1d(p, x, padding=3)
+    b = conv1d_tapgemm_w8a8(q, x, padding=3)
+    assert b.shape == ref.shape
+    assert _rel_err(np.asarray(b), np.asarray(ref)) < 2e-2
+    a = conv1d_unfold_w8a8(q, x, padding=3)
+    assert _rel_err(np.asarray(b), np.asarray(a)) < 2e-2
+
+
+def test_quantized_bigvgan_tapgemm_route():
+    """Wide quantized stages route to tap-GEMM (env cutoff) and the full
+    generator output stays close to float."""
+    cfg = _tiny_cfg()
+    params = bigvgan_init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_bigvgan(params, cfg, min_ch=16)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 64), jnp.float32)
+    ref = bigvgan_apply(params, cfg, mel)
+    old = os.environ.get("MAA3_VOC_QUANT_TAPGEMM_MIN_CH")
+    os.environ["MAA3_VOC_QUANT_TAPGEMM_MIN_CH"] = "16"  # force tap-GEMM
+    try:
+        got = bigvgan_apply(qparams, cfg, mel)
+    finally:
+        if old is None:
+            os.environ.pop("MAA3_VOC_QUANT_TAPGEMM_MIN_CH", None)
+        else:
+            os.environ["MAA3_VOC_QUANT_TAPGEMM_MIN_CH"] = old
+    assert got.shape == ref.shape
+    assert float(np.abs(np.asarray(got) - np.asarray(ref)).mean()) < 0.05
