@@ -292,22 +292,14 @@ def main():
             emit("fp32_highest_mode_failed")
 
     pipe8 = None  # set by stage 1c; reused by the int8 throughput stage
-    # wide-stage w8a8 vocoder (res0/res1 conv GEMMs int8): the batched
-    # serving default — the wide stages are the only vocoder components not
-    # at a hardware bound at batch (PROBE_VOC_B8_ROUTE); wav drift published
-    # in stage 2a. The b1 headline keeps the float vocoder.
-    from maa3_tpu.models.bigvgan import quantize_bigvgan
-    voc_q = quantize_bigvgan(pipe32.params["vocoder"], pipe32.voc_cfg)
-    params_vq = dict(params16)
-    params_vq["vocoder"] = voc_q
-    pipe_vq = dataclasses.replace(pipe, params=params_vq)
 
     # ---- stage 1c: int8 (w8a8) turbo serving mode ------------------------
     # Per-step DiT GEMMs quantized to int8 (ops/quant.py): measured ODE
     # 115.6 -> 93.6 ms and p50 0.220 -> 0.195 s on v5e, at ~2x the bf16
     # mode's mel drift (5.1e-3 vs 2.5e-3 MAE vs fp32). Published as its own
-    # mode so the latency/quality tradeoff is explicit. Round 4 adds the
-    # quantized vocoder to this mode (serving_vocoder parity).
+    # mode so the latency/quality tradeoff is explicit. The vocoder stays
+    # bf16: round-4 per-stage probes measured int8 losing to bf16 lax.conv
+    # on every wide vocoder stage (tap-GEMM and unfold forms both).
     if remaining() > est_compile:
         try:
             from maa3_tpu.ops.quant import quantize_dit_serving
@@ -315,7 +307,6 @@ def main():
             params8["dit"] = cast_matmul_weights(
                 quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"])),
                 jnp.bfloat16)
-            params8["vocoder"] = voc_q
             pipe8 = dataclasses.replace(pipe, params=params8)
 
             def run8(k):
@@ -341,10 +332,9 @@ def main():
             RESULT["int8_error"] = repr(e)[:200]
             emit("int8_mode_failed")
 
-    # ---- stage 2: batched throughput (bf16 DiT + int8 wide-stage vocoder) -
-    # The batched serving default: bf16 ODE, w8a8 vocoder wide stages,
-    # chunked-unfold wide routing (auto at batch >= 4). The pure-float
-    # vocoder ablation is stage 2a.
+    # ---- stage 2: batched throughput (bf16) ------------------------------
+    # Batched serving mix: bf16 ODE + per-stage vocoder routing (Pallas AA
+    # narrow / XLA AA wide, _pallas_aa_max_ch).
     best_tp, best_b = 0.0, 0
     tp_by_batch = {}
     for bsz in (8, 16, 32):
@@ -355,9 +345,9 @@ def main():
             uc_b = jnp.zeros_like(ctx_b)
 
             def run_b(k):
-                _, _, wav = pipe_vq.generate(ctx_b, uc_b, k,
-                                             latent_len=LATENT_LEN,
-                                             guidance_scale=5.0, steps=STEPS)
+                _, _, wav = pipe.generate(ctx_b, uc_b, k,
+                                          latent_len=LATENT_LEN,
+                                          guidance_scale=5.0, steps=STEPS)
                 return wav
 
             run_b(jax.random.PRNGKey(99))  # compile + warmup
@@ -376,33 +366,6 @@ def main():
             RESULT["throughput_error"] = repr(e)[:200]
             emit(f"throughput_b{bsz}_failed")
             break
-
-    # ---- stage 2a: vocoder-quant ablation + wav drift --------------------
-    # (a) b8 with the FLOAT vocoder — isolates the voc-int8 + routing win;
-    # (b) b1 voc-int8 vs float wav MAE on the same mel — the quality cost.
-    if best_b and remaining() > est_compile:
-        try:
-            ctx_b = jnp.broadcast_to(ctx, (8,) + ctx.shape[1:])
-            uc_b = jnp.zeros_like(ctx_b)
-
-            def run_fv(k):
-                return pipe.generate(ctx_b, uc_b, k, latent_len=LATENT_LEN,
-                                     guidance_scale=5.0, steps=STEPS)[2]
-
-            run_fv(jax.random.PRNGKey(99))
-            tb = median_time(run_fv, (jax.random.PRNGKey(108),), n=3)
-            RESULT["throughput_b8_float_voc"] = round(8 * 10.0 / tb, 1)
-            wav_q = np.asarray(pipe_vq.generate(
-                ctx, uc, gen_key, latent_len=LATENT_LEN, guidance_scale=5.0,
-                steps=STEPS)[2], dtype=np.float32)
-            wav_f = np.asarray(pipe.generate(
-                ctx, uc, gen_key, latent_len=LATENT_LEN, guidance_scale=5.0,
-                steps=STEPS)[2], dtype=np.float32)
-            RESULT["wav_mae_voc_int8"] = float(np.abs(wav_q - wav_f).mean())
-            emit("voc_quant_ablation")
-        except Exception as e:
-            RESULT["voc_ablation_error"] = repr(e)[:200]
-            emit("voc_quant_ablation_failed")
 
     # ---- stage 2b: int8 batched throughput sweep --------------------------
     # w8a8 halves exactly the activation bytes PROBE_BATCH_DECOMPOSE blames
@@ -477,13 +440,13 @@ def main():
             uc_8 = jnp.zeros_like(ctx_8)
             scale = jnp.float32(5.0)
             ode_t8 = component_time(
-                lambda x: pipe_vq._sample_latent(pipe_vq.params, x, ctx_8,
-                                                 uc_8, scale, STEPS), (x0_8,))
-            z8 = pipe_vq._sample_latent(pipe_vq.params, x0_8, ctx_8, uc_8,
-                                        scale, STEPS)
-            mel8b = pipe_vq._decode_mel(pipe_vq.params, z8)
+                lambda x: pipe._sample_latent(pipe.params, x, ctx_8,
+                                              uc_8, scale, STEPS), (x0_8,))
+            z8 = pipe._sample_latent(pipe.params, x0_8, ctx_8, uc_8,
+                                     scale, STEPS)
+            mel8b = pipe._decode_mel(pipe.params, z8)
             voc_t8 = component_time(
-                lambda m: pipe_vq._vocode(pipe_vq.params, m), (mel8b,))
+                lambda m: pipe._vocode(pipe.params, m), (mel8b,))
             RESULT.update({
                 "ode_ms_per_clip_b8": round(ode_t8 / 8 * 1e3, 1),
                 "vocoder_ms_per_clip_b8": round(voc_t8 / 8 * 1e3, 1),
@@ -539,8 +502,6 @@ def main():
             params_x = dict(pipe_xxl32.params)
             params_x["dit"] = fuse_dit_gemms(
                 cast_matmul_weights(pipe_xxl32.params["dit"], jnp.bfloat16))
-            params_x["vocoder"] = quantize_bigvgan(
-                pipe_xxl32.params["vocoder"], pipe_xxl32.voc_cfg)
             pipe_xxl = dataclasses.replace(
                 pipe_xxl32, compute_dtype=jnp.bfloat16, params=params_x,
                 dit_cfg=dataclasses.replace(xxl, fp32_residual=True))

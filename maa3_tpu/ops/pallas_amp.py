@@ -143,11 +143,17 @@ def _kernel(a_ref, ib_ref, w_ref, b_ref, x_ref, lh_ref, rh_ref, out_ref,
 def conv_snake_fused(x: Array, alpha: Array, beta: Optional[Array],
                      w: Array, b: Array, *, k: int, dilation: int = 1,
                      logscale: bool = True, has_beta: bool = True,
-                     tile: int = 8192, interpret: Optional[bool] = None,
+                     tile: Optional[int] = None,
+                     interpret: Optional[bool] = None,
                      fast_sin2: Optional[bool] = None) -> Array:
     # env/dtype routing resolved OUTSIDE the jit (see aa_snake_fused)
     if fast_sin2 is None:
         fast_sin2 = use_fast_sin2(x.dtype)
+    if tile is None:
+        # per-program time cap: bigger tiles -> fewer grid programs; the
+        # VMEM budget below still bounds the actual pick
+        import os
+        tile = int(os.environ.get("MAA3_AMP_TILE", "8192"))
     return _conv_snake_fused(x, alpha, beta, w, b, k=k, dilation=dilation,
                              logscale=logscale, has_beta=has_beta, tile=tile,
                              interpret=interpret, fast_sin2=fast_sin2)

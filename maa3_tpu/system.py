@@ -40,22 +40,27 @@ Array = jax.Array
 
 
 def _parse_quant_mode(mode: str):
-    """ "int8[:g<N>][,now2][,novoc][,smooth]" ->
+    """ "int8[:g<N>][,now2][,voc|,novoc][,smooth]" ->
     (group_size, skip_w2, quant_voc, smooth). Raises on anything else so
-    typos fail at set_serving_quant time, not inside a compile. quant_voc
-    (default True) also w8a8-quantizes the wide BigVGAN resblock conv GEMMs
-    (models/bigvgan.py::quantize_bigvgan); "novoc" keeps the vocoder float.
-    "smooth" applies SmoothQuant scale migration folded into the weights
-    (zero runtime cost; needs a prior calibrate_smooth(...) call)."""
+    typos fail at set_serving_quant time, not inside a compile. "voc" also
+    w8a8-quantizes the wide BigVGAN resblock conv GEMMs
+    (models/bigvgan.py::quantize_bigvgan) — default OFF: the round-4
+    per-stage probes measured int8 LOSING to bf16 lax.conv on every wide
+    vocoder stage at batch (tap-GEMM 39.5 vs 32.5 ms res0; unfold worse),
+    so the mode is kept as an A/B lever, not a default. "smooth" applies
+    SmoothQuant scale migration folded into the weights (zero runtime
+    cost; needs a prior calibrate_smooth(...) call)."""
     base, _, opts = mode.partition(":")
     if base != "int8":
         raise ValueError(f"unknown serving quant mode: {mode!r}")
-    group, skip_w2, quant_voc, smooth = 0, False, True, False
+    group, skip_w2, quant_voc, smooth = 0, False, False, False
     for o in filter(None, opts.split(",")):
         if o.startswith("g") and o[1:].isdigit():
             group = int(o[1:])
         elif o == "now2":
             skip_w2 = True
+        elif o == "voc":
+            quant_voc = True
         elif o == "novoc":
             quant_voc = False
         elif o == "smooth":

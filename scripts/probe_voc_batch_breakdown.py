@@ -54,6 +54,10 @@ ROUTES = {
     # GEMM); Pallas one-pass AA for the snakes ("int8x": XLA AA instead)
     "int8": (True, 0, 0, False),
     "int8x": (False, 0, 0, False),
+    # decomposition-only routes: convs without activations / acts without
+    # convs (per-stage AA-vs-conv split; NOT a valid generator)
+    "noaa": (False, 0, 0, False),
+    "aaonly": (False, 0, 0, False),
 }
 
 
@@ -155,15 +159,35 @@ def main():
                      "convs2": [quantize_conv_int8(c) for c in rb["convs2"]]}
                     for rb in rbs]
 
-            def stage(rbl, z, up=up, fc=fc, uc=uc, wu=wu):
-                acc = None
-                for j in range(num_kernels):
-                    kk = cfg.resblock_kernel_sizes[j]
-                    dd = cfg.resblock_dilation_sizes[j]
-                    o = _amp1_apply(rbl[j], z, kk, dd, cfg, DT, up, fc, uc,
-                                    wu)
-                    acc = o if acc is None else acc + o
-                return acc / num_kernels
+            if route == "noaa":
+                def stage(rbl, z, uc=uc):
+                    for j in range(num_kernels):
+                        kk = cfg.resblock_kernel_sizes[j]
+                        for dd in cfg.resblock_dilation_sizes[j]:
+                            z = _conv_site(rbl[j]["convs1"][0], z, kk, dd,
+                                           DT, uc)
+                    return z
+            elif route == "aaonly":
+                from maa3_tpu.models.bigvgan import _make_aa
+
+                def stage(rbl, z):
+                    aa = _make_aa(cfg, False, DT)
+                    for j in range(num_kernels):
+                        for i2, _ in enumerate(
+                                cfg.resblock_dilation_sizes[j]):
+                            z = aa(rbl[j]["acts"][2 * i2])(z)
+                            z = aa(rbl[j]["acts"][2 * i2 + 1])(z)
+                    return z
+            else:
+                def stage(rbl, z, up=up, fc=fc, uc=uc, wu=wu):
+                    acc = None
+                    for j in range(num_kernels):
+                        kk = cfg.resblock_kernel_sizes[j]
+                        dd = cfg.resblock_dilation_sizes[j]
+                        o = _amp1_apply(rbl[j], z, kk, dd, cfg, DT, up, fc,
+                                        uc, wu)
+                        acc = o if acc is None else acc + o
+                    return acc / num_kernels
 
             t = program_time(chained_same_shape(stage), (rbl_in, y)) / ITERS
             res[f"res{i}_{route}_ms"] = round(t * 1e3, 2)

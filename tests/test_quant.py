@@ -101,14 +101,14 @@ def test_quantize_dit_serving_variants():
 
 def test_system_quant_mode_variants():
     from maa3_tpu.system import _parse_quant_mode
-    assert _parse_quant_mode("int8") == (0, False, True, False)
-    assert _parse_quant_mode("int8:g128") == (128, False, True, False)
-    assert _parse_quant_mode("int8:now2") == (0, True, True, False)
-    assert _parse_quant_mode("int8:g64,now2") == (64, True, True, False)
-    assert _parse_quant_mode("int8:novoc") == (0, False, False, False)
-    assert _parse_quant_mode("int8:smooth") == (0, False, True, True)
-    assert _parse_quant_mode("int8:g128,now2,novoc,smooth") == (
-        128, True, False, True)
+    assert _parse_quant_mode("int8") == (0, False, False, False)
+    assert _parse_quant_mode("int8:g128") == (128, False, False, False)
+    assert _parse_quant_mode("int8:now2") == (0, True, False, False)
+    assert _parse_quant_mode("int8:g64,now2") == (64, True, False, False)
+    assert _parse_quant_mode("int8:voc") == (0, False, True, False)
+    assert _parse_quant_mode("int8:smooth") == (0, False, False, True)
+    assert _parse_quant_mode("int8:g128,now2,voc,smooth") == (
+        128, True, True, True)
     for bad in ("int4", "int8:g", "int8:xyz"):
         try:
             _parse_quant_mode(bad)

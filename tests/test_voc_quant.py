@@ -121,11 +121,11 @@ def test_system_serving_vocoder_cache():
     sys_ = MAA3System(spec, params, voc_cfg=voc_cfg,
                       compute_dtype=jnp.float32)
     assert sys_.serving_vocoder() is sys_.params["vocoder"]
-    sys_.set_serving_quant("int8:novoc")
+    sys_.set_serving_quant("int8")  # voc quant is opt-in (round-4 probes)
     assert sys_.serving_vocoder() is sys_.params["vocoder"]
     os.environ["MAA3_VOC_QUANT_MIN_CH"] = "16"
     try:
-        sys_.set_serving_quant("int8")
+        sys_.set_serving_quant("int8:voc")
         v1 = sys_.serving_vocoder()
         assert v1 is sys_.serving_vocoder()  # cached
         leaves = jax.tree.leaves(v1)
