@@ -165,6 +165,13 @@ def main():
     print(json.dumps({"fp32_default_vs_highest":
                       out["fp32_default_vs_highest"]}), flush=True)
     mel_bf16 = None
+    # --modes a,b,c filters to a comma-separated subset (substring match);
+    # 'bf16' is always kept (the int8 rows' vs-bf16 metric needs it)
+    for a in sys.argv[1:]:
+        if a.startswith("--modes="):
+            keep = a.split("=", 1)[1].split(",")
+            modes = {n: p for n, p in modes.items()
+                     if n == "bf16" or any(k in n for k in keep)}
     for name, pipe in modes.items():
         z16, mel16, wav16 = gen(pipe)
         row = {

@@ -69,7 +69,11 @@ def main():
     vae_params = vae_init(jax.random.PRNGKey(1), vae_cfg)
     n_params = dit_param_count(dit_params)
 
-    optimizer = make_optimizer(mu_dtype=jnp.bfloat16)
+    # production recipe (TRAIN_r05 best point): bf16 mu + factored nu —
+    # MAA3_FACTORED=0 reverts to the r04 AdamW fp32-nu phase for comparison
+    optimizer = make_optimizer(
+        mu_dtype=jnp.bfloat16,
+        factored=os.environ.get("MAA3_FACTORED", "1") != "0")
     state = create_train_state({"dit": dit_params}, {"vae": vae_params},
                                optimizer, use_ema=False)
     train_step = jax.jit(make_train_step(dit_cfg, vae_cfg, optimizer,
