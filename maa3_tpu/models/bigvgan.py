@@ -113,21 +113,37 @@ def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
     return {"alpha": init((ch,), jnp.float32), "beta": init((ch,), jnp.float32)}
 
 
+def _aa_class():
+    """Non-Pallas AA lowering: MXU banded-matmul FIRs on TPU (the round-4
+    finding: the shift-add form's lane-rotated taps are VPU-bound and
+    dominate batched vocoder time), XLA shift-add on CPU (exact-order
+    reference; also the class all equivalence tests pin). MAA3_AA_MXU=0/1
+    overrides."""
+    from maa3_tpu.ops.resample import FusedActivation1d, MXUActivation1d
+    env = os.environ.get("MAA3_AA_MXU")
+    if env is not None:
+        use = env.strip().lower() not in ("0", "false", "off", "no", "")
+    else:
+        use = jax.default_backend() != "cpu"
+    return MXUActivation1d if use else FusedActivation1d
+
+
 def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False,
              compute_dtype=None):
     """Anti-aliased activation closure over params.
 
-    Two formulations, numerically equivalent to the reference conv pipeline:
-    - XLA shift-add polyphase (ops/resample.py FusedActivation1d) — default;
-      differentiable, used by vocoder-GAN training and on CPU.
-    - Pallas fused kernel (ops/pallas_aa_snake.py) — inference fast path on
-      TPU: one HBM pass per activation instead of ~25 materialized slices on
-      the long-time/few-channel stages.
+    Three formulations, numerically equivalent to the reference conv
+    pipeline:
+    - MXU banded-matmul FIRs (ops/resample.py MXUActivation1d) — the TPU
+      default for the non-Pallas path (see _aa_class);
+    - XLA shift-add polyphase (FusedActivation1d) — CPU / parity reference;
+    - Pallas fused kernel (ops/pallas_aa_snake.py) — one-HBM-pass kernel,
+      kept for the narrow-stage A/B (use_pallas).
 
     `activation: lrelu` selects the plain HiFiGAN nonlinearity (no
     anti-aliasing) — the AudioLDM-variant vocoder family
     (ldm/models/diffusion/audioldm.py HiFiGAN path)."""
-    from maa3_tpu.ops.resample import FusedActivation1d
+    FusedActivation1d = _aa_class()
     # resolve the poly-sin^2 routing from the GENERATOR compute dtype: the
     # AA FIR taps promote the upsampled signal to fp32, so dtype-sniffing
     # inside snake()/snake_beta() would never fire (bench regression: the

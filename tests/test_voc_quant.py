@@ -174,3 +174,39 @@ def test_quantized_bigvgan_tapgemm_route():
             os.environ["MAA3_VOC_QUANT_TAPGEMM_MIN_CH"] = old
     assert got.shape == ref.shape
     assert float(np.abs(np.asarray(got) - np.asarray(ref)).mean()) < 0.05
+
+
+def test_mxu_aa_matches_reference_fp32():
+    """MXUActivation1d (banded-matmul FIRs) must equal the depthwise-conv
+    Activation1d reference and the shift-add FusedActivation1d to fp32
+    association error — including the replicate-clamp edges, at lengths
+    that are NOT multiples of the 128 tile."""
+    from maa3_tpu.ops.resample import (Activation1d, FusedActivation1d,
+                                       MXUActivation1d)
+
+    act = jnp.tanh
+    for t in (64, 128, 200, 333):
+        x = jax.random.normal(jax.random.PRNGKey(t), (2, 6, t), jnp.float32)
+        ref = Activation1d(act)(x)
+        fused = FusedActivation1d(act)(x)
+        mxu = MXUActivation1d(act)(x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mxu), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_mxu_aa_in_generator():
+    """Full generator with MAA3_AA_MXU=1 equals the shift-add default on
+    CPU (pure re-lowering)."""
+    cfg = _tiny_cfg()
+    params = bigvgan_init(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 70), jnp.float32)
+    ref = bigvgan_apply(params, cfg, mel)
+    os.environ["MAA3_AA_MXU"] = "1"
+    try:
+        got = bigvgan_apply(params, cfg, mel)
+    finally:
+        del os.environ["MAA3_AA_MXU"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
