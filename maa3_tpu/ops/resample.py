@@ -283,10 +283,11 @@ class MXUActivation1d:
     def __init__(self, activation, ratio: int = 2, kernel_size: int = 12):
         assert ratio == 2 and kernel_size == 12, "fast path covers 2x/12"
         self.act = activation
-        up = UpSample1d(ratio, kernel_size)
-        dn = DownSample1d(ratio, kernel_size)
-        f_up = np.asarray(up.filter) * 2.0
-        f_dn = np.asarray(dn.filter)
+        # pure-numpy filters (constructing via UpSample1d would stage the
+        # jnp constants when this __init__ runs inside a jit trace)
+        f_up = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio,
+                                    kernel_size) * 2.0
+        f_dn = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
         # up_e[t] = sum_{o=2..7} f_up[15-2o] xp[t+o]
         # up_o[t] = sum_{o=3..8} f_up[16-2o] xp[t+o]
         be = _band_matrix([f_up[15 - 2 * o] for o in range(2, 8)], 2, 136)
