@@ -280,24 +280,34 @@ class MXUActivation1d:
     fp32 outputs agree to association error and bf16 inputs to bf16 noise.
     """
 
+    _BANDS = None  # class-level cache: one build per process, reused by
+    #                every activation site's trace
+
     def __init__(self, activation, ratio: int = 2, kernel_size: int = 12):
         assert ratio == 2 and kernel_size == 12, "fast path covers 2x/12"
         self.act = activation
-        # pure-numpy filters (constructing via UpSample1d would stage the
-        # jnp constants when this __init__ runs inside a jit trace)
-        f_up = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio,
-                                    kernel_size) * 2.0
-        f_dn = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-        # up_e[t] = sum_{o=2..7} f_up[15-2o] xp[t+o]
-        # up_o[t] = sum_{o=3..8} f_up[16-2o] xp[t+o]
-        be = _band_matrix([f_up[15 - 2 * o] for o in range(2, 8)], 2, 136)
-        bo = _band_matrix([f_up[16 - 2 * o] for o in range(3, 9)], 3, 136)
-        self._b_up = jnp.asarray(np.concatenate([be, bo], axis=1))  # (136,256)
-        # y[i] = sum_{m=0..5} f_dn[2(m-2)+5] se_ext[i+m]
-        #      + sum_{m=0..5} f_dn[2(m-3)+6] so_ext[i+m]
-        bse = _band_matrix([f_dn[2 * (m - 2) + 5] for m in range(6)], 0, 133)
-        bso = _band_matrix([f_dn[2 * (m - 3) + 6] for m in range(6)], 0, 133)
-        self._b_dn = jnp.asarray(np.concatenate([bse, bso], axis=0))  # (266,128)
+        if MXUActivation1d._BANDS is None:
+            # pure-numpy filters (constructing via UpSample1d would stage
+            # the jnp constants when this __init__ runs inside a jit trace)
+            f_up = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio,
+                                        kernel_size) * 2.0
+            f_dn = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio,
+                                        kernel_size)
+            # up_e[t] = sum_{o=2..7} f_up[15-2o] xp[t+o]
+            # up_o[t] = sum_{o=3..8} f_up[16-2o] xp[t+o]
+            be = _band_matrix([f_up[15 - 2 * o] for o in range(2, 8)], 2, 136)
+            bo = _band_matrix([f_up[16 - 2 * o] for o in range(3, 9)], 3, 136)
+            # y[i] = sum_{m=0..5} f_dn[2(m-2)+5] se_ext[i+m]
+            #      + sum_{m=0..5} f_dn[2(m-3)+6] so_ext[i+m]
+            bse = _band_matrix([f_dn[2 * (m - 2) + 5] for m in range(6)],
+                               0, 133)
+            bso = _band_matrix([f_dn[2 * (m - 3) + 6] for m in range(6)],
+                               0, 133)
+            MXUActivation1d._BANDS = (
+                np.concatenate([be, bo], axis=1),    # (136, 256)
+                np.concatenate([bse, bso], axis=0))  # (266, 128)
+        self._b_up = jnp.asarray(MXUActivation1d._BANDS[0])
+        self._b_dn = jnp.asarray(MXUActivation1d._BANDS[1])
 
     def __call__(self, x: Array) -> Array:
         b, c, t = x.shape
