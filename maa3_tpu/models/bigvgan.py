@@ -113,18 +113,20 @@ def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
     return {"alpha": init((ch,), jnp.float32), "beta": init((ch,), jnp.float32)}
 
 
-def _aa_class():
-    """Non-Pallas AA lowering: MXU banded-matmul FIRs on TPU (the round-4
-    finding: the shift-add form's lane-rotated taps are VPU-bound and
-    dominate batched vocoder time), XLA shift-add on CPU (exact-order
-    reference; also the class all equivalence tests pin). MAA3_AA_MXU=0/1
-    overrides."""
+def _aa_class(compute_dtype=None):
+    """Non-Pallas AA lowering: MXU banded-matmul FIRs on TPU in bf16 mode
+    (the round-4 finding: the shift-add form's lane-rotated taps are
+    VPU-bound and dominate batched vocoder time), XLA shift-add on CPU and
+    in the fp32 PARITY mode (there the shift-add taps run exact fp32
+    elementwise; MXU fp32 dots would quietly run as bf16 passes).
+    MAA3_AA_MXU=0/1 overrides."""
     from maa3_tpu.ops.resample import FusedActivation1d, MXUActivation1d
     env = os.environ.get("MAA3_AA_MXU")
     if env is not None:
         use = env.strip().lower() not in ("0", "false", "off", "no", "")
     else:
-        use = jax.default_backend() != "cpu"
+        use = (jax.default_backend() != "cpu"
+               and compute_dtype == jnp.bfloat16)
     return MXUActivation1d if use else FusedActivation1d
 
 
@@ -143,7 +145,7 @@ def _make_aa(cfg: BigVGANConfig, use_pallas: bool = False,
     `activation: lrelu` selects the plain HiFiGAN nonlinearity (no
     anti-aliasing) — the AudioLDM-variant vocoder family
     (ldm/models/diffusion/audioldm.py HiFiGAN path)."""
-    FusedActivation1d = _aa_class()
+    FusedActivation1d = _aa_class(compute_dtype)
     # resolve the poly-sin^2 routing from the GENERATOR compute dtype: the
     # AA FIR taps promote the upsampled signal to fp32, so dtype-sniffing
     # inside snake()/snake_beta() would never fire (bench regression: the
