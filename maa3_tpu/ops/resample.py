@@ -314,12 +314,16 @@ class MXUActivation1d:
         m = b * c
         cdt = x.dtype
         n_t = -(-t // 128)
+        # bf16 mode stores the FIR outputs bf16 (halves the intermediate HBM
+        # bytes; MXU accumulation is fp32 internally either way); fp32 mode
+        # keeps fp32 storage
+        acc_t = jnp.float32 if cdt == jnp.float32 else cdt
         xp = pad_1d(x, 5, 5, mode="replicate").reshape(m, t + 10)
         xp = jnp.pad(xp, ((0, 0), (0, (n_t + 1) * 128 - (t + 10))))
         w_up = _windows(xp, n_t, 136)
         up = jnp.einsum("mnk,kp->mnp", w_up.astype(cdt),
                         self._b_up.astype(cdt),
-                        preferred_element_type=jnp.float32)   # (M, nT, 256)
+                        preferred_element_type=acc_t)         # (M, nT, 256)
         up_e = up[..., :128].reshape(m, n_t * 128)[:, :t].reshape(b, c, t)
         up_o = up[..., 128:].reshape(m, n_t * 128)[:, :t].reshape(b, c, t)
 
@@ -341,5 +345,5 @@ class MXUActivation1d:
                                 _windows(so_ext, n_t, 133)], axis=-1)
         y = jnp.einsum("mnk,kp->mnp", w_dn.astype(cdt),
                        self._b_dn.astype(cdt),
-                       preferred_element_type=jnp.float32)    # (M, nT, 128)
+                       preferred_element_type=acc_t)          # (M, nT, 128)
         return y.reshape(m, n_t * 128)[:, :t].reshape(b, c, t).astype(cdt)
