@@ -114,19 +114,17 @@ def _act_init(ch: int, cfg: BigVGANConfig) -> dict:
 
 
 def _aa_class(compute_dtype=None):
-    """Non-Pallas AA lowering: MXU banded-matmul FIRs on TPU in bf16 mode
-    (the round-4 finding: the shift-add form's lane-rotated taps are
-    VPU-bound and dominate batched vocoder time), XLA shift-add on CPU and
-    in the fp32 PARITY mode (there the shift-add taps run exact fp32
-    elementwise; MXU fp32 dots would quietly run as bf16 passes).
-    MAA3_AA_MXU=0/1 overrides."""
+    """Non-Pallas AA lowering. MAA3_AA_MXU=1 selects the banded-matmul MXU
+    form (ops/resample.py MXUActivation1d) — measured SLOWER at every b8
+    stage (probe r04-D: res1 95 vs 67 ms aa-only; XLA materializes the
+    overlapping windows, so the einsum trades VPU rotates for >2x HBM
+    traffic), so the default stays the shift-add form; the class is kept
+    as the A/B lever and the building block for an in-VMEM Pallas variant
+    (where the windows never touch HBM)."""
     from maa3_tpu.ops.resample import FusedActivation1d, MXUActivation1d
     env = os.environ.get("MAA3_AA_MXU")
-    if env is not None:
-        use = env.strip().lower() not in ("0", "false", "off", "no", "")
-    else:
-        use = (jax.default_backend() != "cpu"
-               and compute_dtype == jnp.bfloat16)
+    use = (env is not None and
+           env.strip().lower() not in ("0", "false", "off", "no", ""))
     return MXUActivation1d if use else FusedActivation1d
 
 
