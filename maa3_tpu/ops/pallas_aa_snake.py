@@ -141,28 +141,139 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _kernel_mxu(a_ref, ib_ref, bu_ref, bd_ref, x_ref, lh_ref, rh_ref,
+                out_ref, xin, se, so, *, tile: int, n_rows: int,
+                t_total: int, fast_sin2: bool = False):
+    """_kernel with the FIRs as banded-matrix MXU dots (round-4 rewrite).
+
+    The shift-add FIRs cost ~100-120 ps/element on the VPU (24 lane-rotated
+    tap reads; PROBE_VOC_DECOMP_R04) — the measured bound of the whole
+    batched vocoder. Here each 128-column sub-tile does ONE slightly-offset
+    window read (n_rows, 133) and one MXU dot against a banded matrix
+    computing both polyphase outputs at once:
+
+      up:   W = xin[:, s:s+133];  [up_e | up_o] = W @ bu   (133, 256)
+      down: W = [se[:, s:s+133] | so[:, s:s+133]];  y = W @ bd  (266, 128)
+
+    ~22x the MACs of the 6-tap form, all on the 128x128 systolic array with
+    n_rows=128 rows — the VMEM-resident windows never touch HBM. Snake and
+    the replicate-clamp edge fixes are unchanged (same numerics; only the
+    FIR summation order differs)."""
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    q = t_total - (-(-t_total // tile) - 1) * tile  # valid cols in last tile
+
+    xin[:, 0:5] = lh_ref[:, _HB - 5:]
+    xin[:, 5:5 + tile] = x_ref[:]
+    xin[:, 5 + tile:10 + tile] = rh_ref[:, 0:5]  # scratch is wider (windows)
+    # zero the window-overhang tail: it multiplies ZERO band coefficients,
+    # but uninitialized VMEM could hold NaN/inf and 0*NaN would poison the
+    # dot's valid columns
+    xin[:, 10 + tile:] = jnp.zeros((n_rows, 123), xin.dtype)
+
+    @pl.when(i == 0)
+    def _xleft():
+        xin[:, 0:5] = jnp.broadcast_to(xin[:, 5:6], (n_rows, 5))
+
+    @pl.when(i == n_tiles - 1)
+    def _xright():
+        xin[:, q + 5:10 + tile] = jnp.broadcast_to(
+            xin[:, q + 4:q + 5], (n_rows, tile + 10 - q - 5))
+
+    a = a_ref[:, 0:1]
+    ib = ib_ref[:, 0:1]
+    _s2 = sin2_poly if fast_sin2 else (lambda z: jnp.square(jnp.sin(z)))
+    bu = bu_ref[:]                         # (133, 256) in x dtype
+    n_up = (tile + 5 + 127) // 128         # sub-tiles covering tile+5 phases
+    for j in range(n_up):
+        # fixed 133-wide window (static dot shape); the last sub-tile's
+        # columns beyond tile+10 are uninitialized scratch, but they only
+        # feed output phases >= width, which are discarded below
+        w = xin[:, j * 128:j * 128 + 133]
+        uo = jax.lax.dot_general(w, bu, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        width = min(128, tile + 5 - j * 128)
+        ue = uo[:, 0:width]
+        uod = uo[:, 128:128 + width]
+        sl = slice(j * 128, j * 128 + width)
+        se[:, sl] = (ue + ib * _s2(a * ue)).astype(se.dtype)
+        so[:, sl] = (uod + ib * _s2(a * uod)).astype(so.dtype)
+
+    @pl.when(i == 0)
+    def _sleft():
+        first = se[:, 2:3]
+        se[:, 0:2] = jnp.broadcast_to(first, (n_rows, 2))
+        so[:, 0:3] = jnp.broadcast_to(first, (n_rows, 3))
+
+    @pl.when(i == n_tiles - 1)
+    def _sright():
+        last = so[:, q + 2:q + 3]
+        se[:, q + 2:] = jnp.broadcast_to(last, (n_rows, tile + 3 - q))
+        so[:, q + 3:] = jnp.broadcast_to(last, (n_rows, tile + 2 - q))
+
+    bd = bd_ref[:]                         # (266, 128) fp32
+    for j in range(tile // 128):
+        w = jnp.concatenate([se[:, j * 128:j * 128 + 133],
+                             so[:, j * 128:j * 128 + 133]], axis=1)
+        y = jax.lax.dot_general(w, bd, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[:, j * 128:(j + 1) * 128] = y.astype(out_ref.dtype)
+
+
+def _fir_bands():
+    """Banded matrices for _kernel_mxu (numpy, compile-time constants).
+
+    up_e[m] = sum_{o=0..5} F_UP[11-2o] xin[m+o]
+    up_o[m] = sum_{o=0..5} F_UP[10-2o] xin[m+o]     -> bu (133, 256)
+    y[t]    = sum_{m=0..5} F_DN[2(m-2)+5] se[t+m]
+            + sum_{m=0..5} F_DN[2(m-3)+6] so[t+m]   -> bd (266, 128)
+    """
+    import numpy as np
+    bu = np.zeros((133, 256), np.float32)
+    bd = np.zeros((266, 128), np.float32)
+    for o in range(6):
+        for t in range(128):
+            bu[t + o, t] = _F_UP[11 - 2 * o]
+            bu[t + o, 128 + t] = _F_UP[10 - 2 * o]
+    for m in range(6):
+        for t in range(128):
+            bd[t + m, t] = _F_DN[2 * (m - 2) + 5]
+            bd[133 + t + m, t] = _F_DN[2 * (m - 3) + 6]
+    return bu, bd
+
+
+def _use_mxu_fir() -> bool:
+    import os
+    env = os.environ.get("MAA3_AA_SNAKE_MXU")
+    if env is None:
+        return False  # default decided by the round-4 probe
+    return env.strip().lower() not in ("0", "false", "off", "no", "")
+
+
 def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                    logscale: bool = True, has_beta: bool = True,
                    tile: int = 8192, n_rows: Optional[int] = None,
                    interpret: Optional[bool] = None,
                    fast_sin2: Optional[bool] = None) -> Array:
     # env/dtype-dependent routing resolved OUTSIDE the jit so flipping
-    # MAA3_FAST_SIN2 between calls hits a different static cache entry
+    # MAA3_FAST_SIN2 / MAA3_AA_SNAKE_MXU between calls hits a different
+    # static cache entry
     if fast_sin2 is None:
         fast_sin2 = use_fast_sin2(x.dtype)
     return _aa_snake_fused(x, alpha, beta, logscale=logscale,
                            has_beta=has_beta, tile=tile, n_rows=n_rows,
-                           interpret=interpret, fast_sin2=fast_sin2)
+                           interpret=interpret, fast_sin2=fast_sin2,
+                           mxu_fir=_use_mxu_fir())
 
 
 @functools.partial(jax.jit, static_argnames=("logscale", "has_beta", "tile",
                                              "n_rows", "interpret",
-                                             "fast_sin2"))
+                                             "fast_sin2", "mxu_fir"))
 def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                     logscale: bool = True, has_beta: bool = True,
                     tile: int = 8192, n_rows: Optional[int] = None,
                     interpret: Optional[bool] = None,
-                    fast_sin2: bool = False) -> Array:
+                    fast_sin2: bool = False, mxu_fir: bool = False) -> Array:
     """Fused Activation1d(snake[_beta]) over (B, C, T); returns (B, C, T).
 
     Drop-in fast path for FusedActivation1d(snake_beta/snake) with the 2x /
@@ -174,7 +285,12 @@ def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
     af, inv_b = snake_coeffs(alpha, beta, logscale, has_beta)
 
     if n_rows is None:
-        n_rows = 16 if x.dtype == jnp.bfloat16 else 8
+        if mxu_fir:
+            n_rows = 128  # the MXU dot's M dimension: feed full tiles
+        else:
+            n_rows = 16 if x.dtype == jnp.bfloat16 else 8
+    if mxu_fir:
+        tile = min(tile, 4096 if x.dtype == jnp.bfloat16 else 2048)
     tile = pick_tile(T, tile, 4)  # the halo uses 5 cols of the next block
 
     # VMEM budget guard: when every candidate tile leaves a bad ragged tail,
@@ -211,38 +327,59 @@ def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
     hblk = tile // _HB
     last_blk = (T - 1) // _HB
 
-    kern = functools.partial(_kernel, tile=tile, n_rows=n_rows, t_total=T,
-                             fast_sin2=fast_sin2)
+    in_specs = [
+        pl.BlockSpec((n_rows, 1), lambda r, i: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_rows, 1), lambda r, i: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_rows, tile), lambda r, i: (r, i),
+                     memory_space=pltpu.VMEM),
+        # left halo: the 128 cols ending at the tile start (tile 0 reads
+        # block 0 and overwrites the 5 used cols with replicate pad)
+        pl.BlockSpec((n_rows, _HB),
+                     lambda r, i, h=hblk: (r, jnp.maximum(i * h - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        # right halo: the 128 cols at the tile end (last tiles clamp to a
+        # valid block; the used cols are overwritten by the edge fixes)
+        pl.BlockSpec((n_rows, _HB),
+                     lambda r, i, h=hblk, lb=last_blk:
+                     (r, jnp.minimum((i + 1) * h, lb)),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [a_rows, ib_rows, x2, x2, x2]
+    scratch_fp = jnp.float32
+    if mxu_fir:
+        # banded FIR matrices as VMEM-resident operands; bf16 mode stores
+        # the snake phases bf16 so the down dot runs a single MXU pass
+        scratch_fp = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        bu_np, bd_np = _fir_bands()
+        in_specs[2:2] = [
+            pl.BlockSpec((133, 256), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((266, 128), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands[2:2] = [jnp.asarray(bu_np, x.dtype),
+                         jnp.asarray(bd_np, scratch_fp)]
+        kern = functools.partial(_kernel_mxu, tile=tile, n_rows=n_rows,
+                                 t_total=T, fast_sin2=fast_sin2)
+    else:
+        kern = functools.partial(_kernel, tile=tile, n_rows=n_rows,
+                                 t_total=T, fast_sin2=fast_sin2)
     out = pl.pallas_call(
         kern,
         grid=(-(-rows // n_rows), n_tiles),
-        in_specs=[
-            pl.BlockSpec((n_rows, 1), lambda r, i: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_rows, 1), lambda r, i: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_rows, tile), lambda r, i: (r, i),
-                         memory_space=pltpu.VMEM),
-            # left halo: the 128 cols ending at the tile start (tile 0 reads
-            # block 0 and overwrites the 5 used cols with replicate pad)
-            pl.BlockSpec((n_rows, _HB),
-                         lambda r, i, h=hblk: (r, jnp.maximum(i * h - 1, 0)),
-                         memory_space=pltpu.VMEM),
-            # right halo: the 128 cols at the tile end (last tiles clamp to a
-            # valid block; the used cols are overwritten by the edge fixes)
-            pl.BlockSpec((n_rows, _HB),
-                         lambda r, i, h=hblk, lb=last_blk:
-                         (r, jnp.minimum((i + 1) * h, lb)),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_rows, tile), lambda r, i: (r, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, T), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n_rows, tile + 10), x.dtype),
-            pltpu.VMEM((n_rows, tile + 5), jnp.float32),
-            pltpu.VMEM((n_rows, tile + 5), jnp.float32),
+            # the MXU variant's last up-window reads a fixed 133-wide slice
+            # past tile+10 (discarded output phases) — allocate for it
+            pltpu.VMEM((n_rows, tile + (133 if mxu_fir else 10)), x.dtype),
+            pltpu.VMEM((n_rows, tile + 5), scratch_fp),
+            pltpu.VMEM((n_rows, tile + 5), scratch_fp),
         ],
         interpret=interpret,
-    )(a_rows, ib_rows, x2, x2, x2)
+    )(*operands)
     return out.reshape(B, C, T)

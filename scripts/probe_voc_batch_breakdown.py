@@ -58,6 +58,10 @@ ROUTES = {
     # convs (per-stage AA-vs-conv split; NOT a valid generator)
     "noaa": (False, 0, 0, False),
     "aaonly": (False, 0, 0, False),
+    # Pallas one-pass AA + lax.conv on every stage; combine with
+    # MAA3_AA_SNAKE_MXU=1 MAA3_PALLAS_AA_MAX_CH=9999 to probe the
+    # banded-matmul FIR kernel (_kernel_mxu) at all widths
+    "paa": (True, 0, 0, False),
 }
 
 

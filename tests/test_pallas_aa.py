@@ -63,3 +63,27 @@ def test_bfloat16_io_fp32_snake():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=0.05, rtol=0.05)
+
+
+def test_aa_snake_mxu_fir_matches_shift_add():
+    """The banded-matmul FIR variant (_kernel_mxu, round 4) must match the
+    shift-add kernel exactly in fp32 — same taps, same replicate-clamp
+    edges, only the FIR summation order differs — across multi-tile grids
+    and ragged tails."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from maa3_tpu.ops.pallas_aa_snake import _aa_snake_fused
+
+    for t in (128, 200, 500):
+        x = jax.random.normal(jax.random.PRNGKey(t), (2, 4, t), jnp.float32)
+        al = jax.random.normal(jax.random.PRNGKey(1), (4,)) * 0.3
+        be = jax.random.normal(jax.random.PRNGKey(2), (4,)) * 0.3
+        ref = _aa_snake_fused(x, al, be, logscale=True, has_beta=True,
+                              tile=128, interpret=True, fast_sin2=False,
+                              mxu_fir=False)
+        got = _aa_snake_fused(x, al, be, logscale=True, has_beta=True,
+                              tile=128, interpret=True, fast_sin2=False,
+                              mxu_fir=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-6)
