@@ -58,9 +58,12 @@ class DiTConfig:
     # After the grouped rewrite the kernel's FORWARD beats XLA dense
     # 1.5-2.3x from seq 624 up (PROBE_FLASH_SERVE.json), and
     # the auto threshold is MODE-AWARE (flash_for_len). Training: with the
-    # fused single-pass backward the flash train grad beats dense 2.0x at
-    # seq 2048 and 1.67x at 4096 but still trails slightly (0.93x) at 1248
-    # (PROBE_FLASH_TRAIN.json) — auto-route to the kernel from seq 2048.
+    # fused single-pass MASKLESS backward (round 4) the flash train grad
+    # reaches parity at seq 1248 on the proxy (0.995x) and WINS 1.12x in
+    # the XL end-to-end step at the any-len collate cap (b6 x latent 1248:
+    # MFU 0.415 vs 0.369, TRAIN_r06) and 1.9x at 2048 — auto-route to the
+    # kernel from seq 1248 (real-shape long-mel training stops paying the
+    # dense O(L^2) score HBM).
     # Inference: at the production seq 312 the isolated op is ~0.1 ms, so
     # the pallas_call fusion barrier costs more end-to-end than the kernel
     # saves (PROBE_FLASH_E2E.json: forcing it ON loses throughput at every
@@ -100,7 +103,7 @@ class DiTConfig:
     def flash_for_len(self, seq_len: int, training: bool = False) -> bool:
         if self.use_flash is not None:
             return self.use_flash
-        return seq_len >= 2048 if training else seq_len > 4096
+        return seq_len >= 1248 if training else seq_len > 4096
 
     def resolve_flash(self, seq_len: int, training: bool) -> "DiTConfig":
         """Pin use_flash for this apply (a trace-time decision): the block
@@ -203,7 +206,8 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
     context: (B, Ly, context_dim). Returns (B, C, T) velocity.
 
     training=True selects the train-side flash-attention auto threshold
-    (the fused backward wins from seq 2048; inference stays dense to 4096).
+    (the fused maskless backward wins from seq 1248; inference stays dense
+    to 4096).
 
     Parity: TxtFlagLargeDiT.forward (flag_large_dit.py:177-210).
     """

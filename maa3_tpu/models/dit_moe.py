@@ -67,7 +67,7 @@ class MoEDiTConfig:
     def flash_for_len(self, seq_len: int, training: bool = False) -> bool:
         if self.use_flash is not None:
             return self.use_flash
-        return seq_len >= 2048 if training else seq_len > 4096
+        return seq_len >= 1248 if training else seq_len > 4096
 
     def resolve_flash(self, seq_len: int, training: bool) -> "MoEDiTConfig":
         """See DiTConfig.resolve_flash (models/dit.py)."""

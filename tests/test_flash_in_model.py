@@ -41,13 +41,18 @@ def test_flash_path_matches_sdpa_long_context():
 def test_flash_auto_threshold():
     cfg = _mk(None)
     assert not cfg.flash_for_len(312)    # default 10 s clip: fused XLA attn
-    # the kernel's backward still trails XLA dense through seq 4096 on v5e
-    # (PROBE_FLASH_TRAIN.json: grad 21.0 vs 13.48 ms at 2048) and forcing it
-    # on end-to-end loses serving throughput at every batch
-    # (PROBE_FLASH_E2E.json) — flash auto-routes only where dense stops
-    # fitting memory
+    # inference: forcing the kernel on end-to-end loses serving throughput
+    # at every batch (PROBE_FLASH_E2E.json) — flash auto-routes only where
+    # dense stops fitting memory
     assert not cfg.flash_for_len(2048)
     assert cfg.flash_for_len(5000)       # long-context: Pallas kernel
+    # training (round 4, maskless fused backward): flash wins the XL e2e
+    # step 1.12x at the any-len collate cap (TRAIN_r06 b6 x latent 1248)
+    # and 1.9x at 2048 — kernel from seq 1248; production seq 312/624 stay
+    # dense (0.8x at 624)
+    assert not cfg.flash_for_len(624, training=True)
+    assert cfg.flash_for_len(1248, training=True)
+    assert cfg.flash_for_len(2048, training=True)
 
     # the MoE config carries a hand-synced copy of the same threshold
     from maa3_tpu.models.dit_moe import MoEDiTConfig
@@ -55,6 +60,7 @@ def test_flash_auto_threshold():
                        depth=1, num_heads=2, max_len=8192, multiple_of=16)
     assert not moe.flash_for_len(2048)
     assert moe.flash_for_len(5000)
+    assert moe.flash_for_len(1248, training=True)
 
 
 def test_long_context_generation_through_flash():
