@@ -101,14 +101,17 @@ def main():
         z32, mel32, wav32 = gen(pipe32)
     base16 = dataclasses.replace(pipe32, compute_dtype=jnp.bfloat16,
                                  params=params16)  # fp32 decode (default)
+    # Mode pipes are built LAZILY, one at a time, and dropped after
+    # measuring: 8+ concurrently-held quantized XL param sets OOM the 16 GB
+    # chip (round-4 post-mortem of the first drift-sweep attempt).
     modes = {
-        "bf16_dec16": dataclasses.replace(base16, decode_dtype=None),
-        "bf16": base16,
-        "bf16+fp32_scores": dataclasses.replace(
+        "bf16_dec16": lambda: dataclasses.replace(base16, decode_dtype=None),
+        "bf16": lambda: base16,
+        "bf16+fp32_scores": lambda: dataclasses.replace(
             base16, dit_cfg=dataclasses.replace(dit, fp32_scores=True)),
-        "bf16+fp32_residual": dataclasses.replace(
+        "bf16+fp32_residual": lambda: dataclasses.replace(
             base16, dit_cfg=dataclasses.replace(dit, fp32_residual=True)),
-        "bf16+both": dataclasses.replace(
+        "bf16+both": lambda: dataclasses.replace(
             base16, dit_cfg=dataclasses.replace(dit, fp32_scores=True,
                                                 fp32_residual=True)),
     }
@@ -119,39 +122,51 @@ def main():
     # down-projection, whose input has the widest dynamic range) in bf16.
     from maa3_tpu.ops.quant import quantize_dit_serving
     gs = 32 if small else 128
+
+    def _int8_pipe(kw, migrate=None):
+        fused = fuse_dit_gemms(pipe32.params["dit"])
+        if migrate is not None:
+            fused = migrate(fused)
+        params8 = dict(pipe32.params)
+        params8["dit"] = cast_matmul_weights(
+            quantize_dit_serving(fused, **kw), jnp.bfloat16)
+        del fused
+        return dataclasses.replace(
+            base16, params=params8,
+            dit_cfg=dataclasses.replace(dit, fp32_residual=True))
+
     for tag, kw in (("", {}),
                     (f":g{gs}", {"group_size": gs}),
                     (":now2", {"skip_w2": True}),
                     (f":g{gs},now2", {"group_size": gs, "skip_w2": True})):
-        params8 = dict(pipe32.params)
-        params8["dit"] = cast_matmul_weights(
-            quantize_dit_serving(fuse_dit_gemms(pipe32.params["dit"]), **kw),
-            jnp.bfloat16)
-        modes[f"int8{tag}+fp32_residual"] = dataclasses.replace(
-            base16, params=params8,
-            dit_cfg=dataclasses.replace(dit, fp32_residual=True))
+        modes[f"int8{tag}+fp32_residual"] = (
+            lambda kw=kw: _int8_pipe(kw))
 
     # SmoothQuant scale migration (round 4, VERDICT #3): calibrate one ODE
     # on this context, fold the equalization into the weights (zero runtime
     # cost), then per-channel-quantize as usual. alpha sweep 0.5 / 0.75.
     from maa3_tpu.ops.quant import calibrate_dit_smooth, smooth_migrate_dit
-    fused32 = fuse_dit_gemms(pipe32.params["dit"])
     serving_cfg = dataclasses.replace(dit, fp32_residual=True)
     x0_cal = jax.random.normal(k, (1, dit.in_channels, latent_len),
                                jnp.float32)  # same draw as pipe.generate(k)
-    stats = calibrate_dit_smooth(fused32, serving_cfg, x0_cal, ctx, uc,
-                                 steps=25, compute_dtype=jnp.bfloat16)
+    _stats_cache = {}
+
+    def _smooth_stats():
+        if "s" not in _stats_cache:
+            fused = fuse_dit_gemms(pipe32.params["dit"])
+            _stats_cache["s"] = calibrate_dit_smooth(
+                fused, serving_cfg, x0_cal, ctx, uc, steps=25,
+                compute_dtype=jnp.bfloat16)
+            del fused
+        return _stats_cache["s"]
+
     for tag, alpha, kw in (("smooth", 0.5, {}),
                            ("smooth75", 0.75, {}),
                            ("smooth,now2", 0.5, {"skip_w2": True})):
-        params8 = dict(pipe32.params)
-        params8["dit"] = cast_matmul_weights(
-            quantize_dit_serving(
-                smooth_migrate_dit(fused32, stats, alpha=alpha), **kw),
-            jnp.bfloat16)
-        modes[f"int8:{tag}+fp32_residual"] = dataclasses.replace(
-            base16, params=params8,
-            dit_cfg=dataclasses.replace(dit, fp32_residual=True))
+        modes[f"int8:{tag}+fp32_residual"] = (
+            lambda alpha=alpha, kw=kw: _int8_pipe(
+                kw, migrate=lambda f: smooth_migrate_dit(
+                    f, _smooth_stats(), alpha=alpha)))
 
     out = {"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
            "latent_rms": float(np.sqrt((z32 ** 2).mean()))}
@@ -172,7 +187,8 @@ def main():
             keep = a.split("=", 1)[1].split(",")
             modes = {n: p for n, p in modes.items()
                      if n == "bf16" or any(k in n for k in keep)}
-    for name, pipe in modes.items():
+    for name, build in modes.items():
+        pipe = build()   # device params live only for this iteration
         z16, mel16, wav16 = gen(pipe)
         row = {
             "latent_mae": float(np.abs(z32 - z16).mean()),
@@ -187,6 +203,7 @@ def main():
             # fast mode (BENCH mel_mae_int8_vs_bf16)
             row["mel_mae_vs_bf16"] = float(np.abs(mel_bf16 - mel16).mean())
         out[name] = row
+        del pipe
         print(json.dumps({name: row}), flush=True)
     out["fp32_p50_s"] = round(p50(pipe32), 4)
     print(json.dumps(out), flush=True)
