@@ -135,10 +135,11 @@ def test_fused_bwd_matches_split():
 
 
 def test_mode_aware_auto_threshold():
-    """use_flash=None auto-routes mode-aware: training from seq 2048 (the
-    fused backward beats dense 2x there, PROBE_FLASH_TRAIN.json), inference
-    only past 4096 (pallas_call fusion barrier loses e2e at serving shapes);
-    an explicit use_flash overrides both."""
+    """use_flash=None auto-routes mode-aware: training from seq 1248 (the
+    maskless fused backward wins the XL e2e step 1.12x at the collate cap,
+    TRAIN_r06; 1.9x at 2048), inference only past 4096 (pallas_call fusion
+    barrier loses e2e at serving shapes); an explicit use_flash overrides
+    both."""
     from maa3_tpu.models.dit import DiTConfig
     from maa3_tpu.models.dit_moe import MoEDiTConfig
 
@@ -146,7 +147,8 @@ def test_mode_aware_auto_threshold():
         cfg = cls(in_channels=4, context_dim=16, hidden_size=32, depth=1,
                   num_heads=2)
         assert not cfg.flash_for_len(312, training=True)
-        assert not cfg.flash_for_len(1248, training=True)
+        assert not cfg.flash_for_len(624, training=True)
+        assert cfg.flash_for_len(1248, training=True)
         assert cfg.flash_for_len(2048, training=True)
         assert not cfg.flash_for_len(2048, training=False)
         assert not cfg.flash_for_len(4096, training=False)
