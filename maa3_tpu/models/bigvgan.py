@@ -209,12 +209,19 @@ def _auto_wide_unfold(batch: int) -> bool:
 
 
 def _pallas_aa_max_ch() -> int:
-    """Channel cutoff for the Pallas one-pass AA-snake at batch >= 4: the
-    measured b8 mix (PROBE_VOC_B8_ROUTE r03 + r04 re-read) keeps the
-    one-pass kernel on the narrow stages but prefers XLA's shift-add AA on
-    the wide ones (res0 768ch: 31.8 XLA-AA vs 36.3 Pallas-AA ms; res1
-    384ch: 63.8 vs 75.9). MAA3_PALLAS_AA_MAX_CH overrides."""
-    return int(os.environ.get("MAA3_PALLAS_AA_MAX_CH", "192"))
+    """Channel cutoff for the Pallas one-pass AA-snake at batch >= 4.
+
+    With the banded-matmul FIR kernel (round-4 default, _use_mxu_fir) the
+    one-pass AA wins EVERY stage width it runs on (probe F: res0 26.2 vs
+    32.5 ms best-previous, res1 34.3 vs 64.1) — no upper cutoff. With the
+    shift-add kernel (MAA3_AA_SNAKE_MXU=0) the r03 measurement stands:
+    XLA's shift-add AA wins the wide stages, cutoff 192.
+    MAA3_PALLAS_AA_MAX_CH overrides."""
+    env = os.environ.get("MAA3_PALLAS_AA_MAX_CH")
+    if env is not None:
+        return int(env)
+    from maa3_tpu.ops.pallas_aa_snake import _use_mxu_fir
+    return 1 << 30 if _use_mxu_fir() else 192
 
 
 def quantize_bigvgan(params: dict, cfg: BigVGANConfig,
@@ -258,16 +265,19 @@ def _get_padding(k: int, d: int) -> int:
     return (k * d - d) // 2
 
 
-def _resolve_unfold_cutoff() -> int:
+def _resolve_unfold_cutoff(batch: int = 1) -> int:
     """Channel cutoff below which stride-1 convs use the unfold-GEMM lowering.
 
-    MAA3_UNFOLD_CUTOFF overrides; default 192 on TPU (where the narrow-stage
-    lax.conv lowering starves the MXU — see ops/conv.py::conv1d_unfold), 0 on
-    CPU (keep the stock path; equivalence is unit-tested explicitly)."""
+    MAA3_UNFOLD_CUTOFF overrides; default 192 on TPU at batch 1 (where the
+    narrow-stage lax.conv lowering starves the MXU — see
+    ops/conv.py::conv1d_unfold), 0 at batch >= 4 (the batched per-position
+    work feeds lax.conv fine and the im2col traffic turns into pure loss:
+    r03 probe res5 b8 unfold 87.7 vs lax.conv ~16 ms) and 0 on CPU (stock
+    path; equivalence is unit-tested explicitly)."""
     env = os.environ.get("MAA3_UNFOLD_CUTOFF")
     if env is not None:
         return int(env)
-    return 192 if jax.default_backend() != "cpu" else 0
+    return 192 if (jax.default_backend() != "cpu" and batch < 4) else 0
 
 
 # Unfold materializes a (B, k*C, T) im2col buffer; beyond ~256 MB the win
@@ -448,8 +458,13 @@ def bigvgan_apply(params: dict, cfg: BigVGANConfig, mel: Array,
     # per-program overheads win on small data; measured on v5e) — one gate
     fused_cutoff = 0
     if use_pallas:
-        fused_cutoff = int(os.environ.get("MAA3_AMP_FUSED_CUTOFF", "192"))
-    unfold_cutoff = _resolve_unfold_cutoff()
+        # with the banded-FIR AA kernel, only the narrowest stages (C<=48)
+        # keep the act->conv conv_snake kernel (probe F: res4/5 fused 41/39
+        # vs paa 43/75 ms); the shift-add fallback keeps the r03 192 cutoff
+        from maa3_tpu.ops.pallas_aa_snake import _use_mxu_fir
+        fused_cutoff = int(os.environ.get(
+            "MAA3_AMP_FUSED_CUTOFF", "48" if _use_mxu_fir() else "192"))
+    unfold_cutoff = _resolve_unfold_cutoff(mel.shape[0])
     wide_unfold = _auto_wide_unfold(mel.shape[0])
     num_kernels = len(cfg.resblock_kernel_sizes)
     amp_apply = _amp1_apply if cfg.resblock == "1" else _amp2_apply

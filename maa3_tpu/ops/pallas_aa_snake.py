@@ -246,7 +246,11 @@ def _use_mxu_fir() -> bool:
     import os
     env = os.environ.get("MAA3_AA_SNAKE_MXU")
     if env is None:
-        return False  # default decided by the round-4 probe
+        # round-4 probe F: the banded-matmul FIR kernel wins every b8 stage
+        # with C >= 96 (res1 34.3 vs 64.1 ms, res3 27.5 vs 45.4); C <= 48
+        # stages route to the conv_snake kernel anyway (bigvgan fused
+        # cutoff), so ON is the correct default wherever this kernel runs
+        return True
     return env.strip().lower() not in ("0", "false", "off", "no", "")
 
 

@@ -62,6 +62,9 @@ ROUTES = {
     # MAA3_AA_SNAKE_MXU=1 MAA3_PALLAS_AA_MAX_CH=9999 to probe the
     # banded-matmul FIR kernel (_kernel_mxu) at all widths
     "paa": (True, 0, 0, False),
+    # the round-4 production mix: banded-FIR AA everywhere except the
+    # C<=48 conv_snake stages, lax.conv for the rest
+    "mix4": (True, 48, 0, False),
 }
 
 
