@@ -490,6 +490,17 @@ def main():
     # minutes on the 1-core VM, so this stage is last and double-gated.
     if remaining() > est_compile * 1.5 + 300.0:
         try:
+            # free the XL param sets first: fp32 + bf16 + int8 DiT copies
+            # (~5.8 GB) plus the 1.47B XXL init (5.9 fp32 + 2.9 bf16
+            # transient) OOM'd a 16 GB chip in the first r04 run
+            note("stage 5: freeing XL DiT copies")
+            for tree in ([pipe32.params["dit"], params16["dit"]]
+                         + ([pipe8.params["dit"]] if pipe8 is not None
+                            else [])):
+                for leaf in jax.tree.leaves(tree):
+                    leaf.delete()
+            pipe8 = None
+
             note("stage 5: XXL init (1.47B random weights, minutes on host)")
             xxl = DiTConfig(in_channels=20, context_dim=1024,
                             hidden_size=1536, depth=32, num_heads=32,
@@ -499,13 +510,29 @@ def main():
                 compute_dtype=jnp.float32)
             pipe_xxl32.params["dit"] = unfreeze_zero_init(
                 pipe_xxl32.params["dit"], jax.random.PRNGKey(7))
+            n_xxl = dit_param_count(pipe_xxl32.params["dit"])
+
+            # per-leaf DONATED bf16 cast: the fp32 master frees as the cast
+            # proceeds, capping the transient at fp32+one-leaf instead of
+            # fp32+bf16 trees both live
+            _cast16 = jax.jit(lambda a: a.astype(jnp.bfloat16),
+                              donate_argnums=0)
+
+            def cast_free(path, a):
+                names = [str(getattr(q, "key", getattr(q, "idx", q)))
+                         for q in path]
+                if names and names[-1] == "w" and a.ndim >= 2:
+                    return _cast16(a)
+                return a
+
             params_x = dict(pipe_xxl32.params)
             params_x["dit"] = fuse_dit_gemms(
-                cast_matmul_weights(pipe_xxl32.params["dit"], jnp.bfloat16))
+                jax.tree_util.tree_map_with_path(
+                    cast_free, pipe_xxl32.params["dit"]))
+            pipe_xxl32.params["dit"] = None  # fp32 master donated away
             pipe_xxl = dataclasses.replace(
                 pipe_xxl32, compute_dtype=jnp.bfloat16, params=params_x,
                 dit_cfg=dataclasses.replace(xxl, fp32_residual=True))
-            n_xxl = dit_param_count(pipe_xxl32.params["dit"])
 
             def run_xxl(k):
                 return pipe_xxl.generate(ctx, uc, k, latent_len=LATENT_LEN,
