@@ -301,7 +301,10 @@ def _conv_site(p: dict, x: Array, k: int, d: int, compute_dtype,
     pad = _get_padding(k, d)
     quant = "w_q" in p
     if quant or x.shape[1] <= unfold_cutoff or wide_unfold:
-        itemsize = 1 if quant else jnp.dtype(compute_dtype or x.dtype).itemsize
+        # quant chunk sizing uses fp32 itemsize: conv1d_unfold_w8a8's im2col
+        # "cols" buffer is built fp32 (feeds both amax and quantize), so the
+        # per-chunk transient is 4 bytes/element, not 1
+        itemsize = 4 if quant else jnp.dtype(compute_dtype or x.dtype).itemsize
         per_sample = k * x.shape[1] * x.shape[2] * itemsize
         if quant or per_sample <= _UNFOLD_MAX_BYTES:
             b = x.shape[0]

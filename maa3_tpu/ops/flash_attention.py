@@ -265,10 +265,17 @@ def _bwd_fused_kernel(*refs, scale: float, nq: int, g: int, block_q: int,
         v = v_ref[gi]
         s2 = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        p = jnp.exp2(s2 - lse_ref[gi] * _LOG2E)
         if masked:
+            p = jnp.exp2(s2 - lse_ref[gi] * _LOG2E)
             valid = mask_ref[gi] > 0      # (1, bk)
             p = jnp.where(valid, p, 0.0)  # see dkv kernel comment
+        else:
+            # padded keys see s2=0, so their exponent is -lse*log2e; if every
+            # valid score in a row were < ~-88 nats, lse < -88 and p would
+            # overflow to inf, making dq = inf*0 = NaN (the masked path zeroes
+            # those keys instead). Clamp the exponent: valid entries sit at
+            # <= ~0, so 120 only caps the pathological pad-key case.
+            p = jnp.exp2(jnp.minimum(s2 - lse_ref[gi] * _LOG2E, 120.0))
         pq = p.astype(v_ref.dtype)
         dv_ref[gi] += jax.lax.dot_general(            # pq^T do -> (bk, d)
             pq, do, (((0,), (0,)), ((), ())),

@@ -544,8 +544,8 @@ class MAA3System:
                                         jnp.float32(self.scale_factor))
 
     def serving_vocoder(self) -> dict:
-        """Vocoder params as `vocode` consumes them: in int8 serving mode
-        (unless ':novoc') the wide-stage resblock convs are w8a8-quantized
+        """Vocoder params as `vocode` consumes them: with the opt-in
+        ':voc' int8 variant the wide-stage resblock convs are w8a8-quantized
         (models/bigvgan.py::quantize_bigvgan). Cache keyed on the identity of
         params["vocoder"], mirroring serving_dit."""
         if not self.serve_quant or not _parse_quant_mode(self.serve_quant)[2]:

@@ -62,8 +62,10 @@ def parse_args():
     p.add_argument("--quant", type=str, default="",
                    help="serving quantization: 'int8' runs the per-step DiT "
                         "GEMMs w8a8 on the MXU (~19%% faster ODE, ~2x the "
-                        "bf16 mode's mel drift) and the wide vocoder stages; "
-                        "variants: int8:g128 / :now2 / :novoc / :smooth "
+                        "bf16 mode's mel drift); the vocoder stays bf16 by "
+                        "default (int8 vocoder convs measured slower, "
+                        "PROBE_VOC_DECOMP_R04) — opt in with 'int8:voc'; "
+                        "other variants: int8:g128 / :now2 / :smooth "
                         "(SmoothQuant migration, auto-calibrated on the "
                         "first prompt)")
     p.add_argument("--n_model", type=int, default=1,
