@@ -73,8 +73,8 @@ def pick_tile(T: int, tile: int, max_bad_tail: int) -> int:
     return tile
 
 
-def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
-            tile: int, n_rows: int, t_total: int, fast_sin2: bool = False):
+def _kernel(*refs, tile: int, n_rows: int, t_total: int,
+            fast_sin2: bool = False, folded: bool = False):
     """One (n_rows, tile) output block.
 
     a_ref/ib_ref: (n_rows, 1) fp32 — effective snake alpha and 1/(beta+eps).
@@ -83,7 +83,22 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
     xin: VMEM scratch (n_rows, tile + 10) == xpad[i*tile : ...], where
         xpad[:, k] = x[:, clamp(k - 5)] (the reference's replicate pad).
     se/so: VMEM scratch (n_rows, tile + 5) fp32 — snake(up) even/odd phases.
+
+    folded (time-folded rows, round 5): each row is one of `fold` contiguous
+    time chunks of an original signal, so the row's global time edges are
+    NOT signal edges. Four extra refs supply per-row cross-chunk halos and
+    edge masks: lh5/rh5 (n_rows, 128; cols 0:5 = true previous-chunk tail /
+    next-chunk head, replicate-padded on chunk 0 / fold-1 rows) and mf/ml
+    (n_rows, 1; 1.0 where the row is the first / last chunk of its signal —
+    only those rows get the reference's s-domain replicate clamp).
     """
+    refs = list(refs)
+    a_ref, ib_ref, x_ref, lh_ref, rh_ref = refs[:5]
+    if folded:
+        lh5_ref, rh5_ref, mf_ref, ml_ref = refs[5:9]
+        out_ref, xin, se, so = refs[9:]
+    else:
+        out_ref, xin, se, so = refs[5:]
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     q = t_total - (-(-t_total // tile) - 1) * tile  # valid cols in last tile
@@ -92,15 +107,26 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
     xin[:, 5:5 + tile] = x_ref[:]
     xin[:, 5 + tile:] = rh_ref[:, 0:5]
 
-    # replicate pad of x at the global edges (torch F.pad 'replicate')
+    # replicate pad of x at the global edges (torch F.pad 'replicate');
+    # folded rows instead read their true cross-chunk halos (already
+    # replicate-padded on the outermost chunks by the wrapper)
     @pl.when(i == 0)
     def _xleft():
-        xin[:, 0:5] = jnp.broadcast_to(xin[:, 5:6], (n_rows, 5))
+        if folded:
+            xin[:, 0:5] = lh5_ref[:, 0:5]
+        else:
+            xin[:, 0:5] = jnp.broadcast_to(xin[:, 5:6], (n_rows, 5))
 
     @pl.when(i == n_tiles - 1)
     def _xright():
-        xin[:, q + 5:] = jnp.broadcast_to(xin[:, q + 4:q + 5],
-                                          (n_rows, tile + 10 - q - 5))
+        if folded:
+            xin[:, q + 5:q + 10] = rh5_ref[:, 0:5]
+            if q + 10 < tile + 10:
+                # overhang feeds only discarded phases; keep it finite
+                xin[:, q + 10:] = jnp.zeros((n_rows, tile - q), xin.dtype)
+        else:
+            xin[:, q + 5:] = jnp.broadcast_to(xin[:, q + 4:q + 5],
+                                              (n_rows, tile + 10 - q - 5))
 
     def xs(off):  # fp32 view of xpad[i*tile + off : ... + tile + 5]
         return xin[:, off:off + tile + 5].astype(jnp.float32)
@@ -121,17 +147,33 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
 
     # --- replicate-clamp edge corrections (reference act.py semantics) -----
     # s-index n < 0 -> s[0] = s_even[0]; n > 2T-1 -> s[2T-1] = s_odd[T-1].
+    # Folded mode masks the clamp to first-/last-chunk rows; interior rows'
+    # edge phases are already exact (computed from the true x halos).
     @pl.when(i == 0)
     def _sleft():
         first = se[:, 2:3]                      # global s_even[0]
-        se[:, 0:2] = jnp.broadcast_to(first, (n_rows, 2))
-        so[:, 0:3] = jnp.broadcast_to(first, (n_rows, 3))
+        f2 = jnp.broadcast_to(first, (n_rows, 2))
+        f3 = jnp.broadcast_to(first, (n_rows, 3))
+        if folded:
+            mf = mf_ref[:, 0:1] > 0
+            se[:, 0:2] = jnp.where(mf, f2, se[:, 0:2])
+            so[:, 0:3] = jnp.where(mf, f3, so[:, 0:3])
+        else:
+            se[:, 0:2] = f2
+            so[:, 0:3] = f3
 
     @pl.when(i == n_tiles - 1)
     def _sright():
         last = so[:, q + 2:q + 3]               # global s_odd[T-1]
-        se[:, q + 2:] = jnp.broadcast_to(last, (n_rows, tile + 3 - q))
-        so[:, q + 3:] = jnp.broadcast_to(last, (n_rows, tile + 2 - q))
+        le = jnp.broadcast_to(last, (n_rows, tile + 3 - q))
+        lo = jnp.broadcast_to(last, (n_rows, tile + 2 - q))
+        if folded:
+            ml = ml_ref[:, 0:1] > 0
+            se[:, q + 2:] = jnp.where(ml, le, se[:, q + 2:])
+            so[:, q + 3:] = jnp.where(ml, lo, so[:, q + 3:])
+        else:
+            se[:, q + 2:] = le
+            so[:, q + 3:] = lo
 
     # --- 2x anti-aliased decimation: y[t] = sum_j g[j] * s~[2t + j - 5] ----
     y = sum(_F_DN[j] * se[:, (j - 5) // 2 + 2:(j - 5) // 2 + 2 + tile]
@@ -141,9 +183,8 @@ def _kernel(a_ref, ib_ref, x_ref, lh_ref, rh_ref, out_ref, xin, se, so, *,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _kernel_mxu(a_ref, ib_ref, bu_ref, bd_ref, x_ref, lh_ref, rh_ref,
-                out_ref, xin, se, so, *, tile: int, n_rows: int,
-                t_total: int, fast_sin2: bool = False):
+def _kernel_mxu(*refs, tile: int, n_rows: int,
+                t_total: int, fast_sin2: bool = False, folded: bool = False):
     """_kernel with the FIRs as banded-matrix MXU dots (round-4 rewrite).
 
     The shift-add FIRs cost ~100-120 ps/element on the VPU (24 lane-rotated
@@ -158,7 +199,16 @@ def _kernel_mxu(a_ref, ib_ref, bu_ref, bd_ref, x_ref, lh_ref, rh_ref,
     ~22x the MACs of the 6-tap form, all on the 128x128 systolic array with
     n_rows=128 rows — the VMEM-resident windows never touch HBM. Snake and
     the replicate-clamp edge fixes are unchanged (same numerics; only the
-    FIR summation order differs)."""
+    FIR summation order differs). `folded` as in _kernel: four extra refs
+    (lh5/rh5 halos, mf/ml edge masks) make each row an interior time chunk
+    of a taller, shorter-time folded layout."""
+    refs = list(refs)
+    a_ref, ib_ref, bu_ref, bd_ref, x_ref, lh_ref, rh_ref = refs[:7]
+    if folded:
+        lh5_ref, rh5_ref, mf_ref, ml_ref = refs[7:11]
+        out_ref, xin, se, so = refs[11:]
+    else:
+        out_ref, xin, se, so = refs[7:]
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     q = t_total - (-(-t_total // tile) - 1) * tile  # valid cols in last tile
@@ -173,12 +223,21 @@ def _kernel_mxu(a_ref, ib_ref, bu_ref, bd_ref, x_ref, lh_ref, rh_ref,
 
     @pl.when(i == 0)
     def _xleft():
-        xin[:, 0:5] = jnp.broadcast_to(xin[:, 5:6], (n_rows, 5))
+        if folded:
+            xin[:, 0:5] = lh5_ref[:, 0:5]
+        else:
+            xin[:, 0:5] = jnp.broadcast_to(xin[:, 5:6], (n_rows, 5))
 
     @pl.when(i == n_tiles - 1)
     def _xright():
-        xin[:, q + 5:10 + tile] = jnp.broadcast_to(
-            xin[:, q + 4:q + 5], (n_rows, tile + 10 - q - 5))
+        if folded:
+            xin[:, q + 5:q + 10] = rh5_ref[:, 0:5]
+            if q + 10 < 10 + tile:
+                xin[:, q + 10:10 + tile] = jnp.zeros(
+                    (n_rows, tile - q), xin.dtype)
+        else:
+            xin[:, q + 5:10 + tile] = jnp.broadcast_to(
+                xin[:, q + 4:q + 5], (n_rows, tile + 10 - q - 5))
 
     a = a_ref[:, 0:1]
     ib = ib_ref[:, 0:1]
@@ -202,14 +261,28 @@ def _kernel_mxu(a_ref, ib_ref, bu_ref, bd_ref, x_ref, lh_ref, rh_ref,
     @pl.when(i == 0)
     def _sleft():
         first = se[:, 2:3]
-        se[:, 0:2] = jnp.broadcast_to(first, (n_rows, 2))
-        so[:, 0:3] = jnp.broadcast_to(first, (n_rows, 3))
+        f2 = jnp.broadcast_to(first, (n_rows, 2))
+        f3 = jnp.broadcast_to(first, (n_rows, 3))
+        if folded:
+            mf = mf_ref[:, 0:1] > 0
+            se[:, 0:2] = jnp.where(mf, f2, se[:, 0:2])
+            so[:, 0:3] = jnp.where(mf, f3, so[:, 0:3])
+        else:
+            se[:, 0:2] = f2
+            so[:, 0:3] = f3
 
     @pl.when(i == n_tiles - 1)
     def _sright():
         last = so[:, q + 2:q + 3]
-        se[:, q + 2:] = jnp.broadcast_to(last, (n_rows, tile + 3 - q))
-        so[:, q + 3:] = jnp.broadcast_to(last, (n_rows, tile + 2 - q))
+        le = jnp.broadcast_to(last, (n_rows, tile + 3 - q))
+        lo = jnp.broadcast_to(last, (n_rows, tile + 2 - q))
+        if folded:
+            ml = ml_ref[:, 0:1] > 0
+            se[:, q + 2:] = jnp.where(ml, le, se[:, q + 2:])
+            so[:, q + 3:] = jnp.where(ml, lo, so[:, q + 3:])
+        else:
+            se[:, q + 2:] = le
+            so[:, q + 3:] = lo
 
     bd = bd_ref[:]                         # (266, 128) fp32
     for j in range(tile // 128):
@@ -258,35 +331,69 @@ def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                    logscale: bool = True, has_beta: bool = True,
                    tile: int = 8192, n_rows: Optional[int] = None,
                    interpret: Optional[bool] = None,
-                   fast_sin2: Optional[bool] = None) -> Array:
+                   fast_sin2: Optional[bool] = None,
+                   fold: Optional[int] = None) -> Array:
     # env/dtype-dependent routing resolved OUTSIDE the jit so flipping
     # MAA3_FAST_SIN2 / MAA3_AA_SNAKE_MXU between calls hits a different
     # static cache entry
     if fast_sin2 is None:
         fast_sin2 = use_fast_sin2(x.dtype)
+    if fold is None:
+        fold = auto_fold(x.shape[0], x.shape[1], x.shape[2])
     return _aa_snake_fused(x, alpha, beta, logscale=logscale,
                            has_beta=has_beta, tile=tile, n_rows=n_rows,
                            interpret=interpret, fast_sin2=fast_sin2,
-                           mxu_fir=_use_mxu_fir())
+                           mxu_fir=_use_mxu_fir(), fold=fold)
+
+
+def auto_fold(B: int, C: int, T: int, target_rows: int = 768,
+              min_t: int = 4096) -> int:
+    """Time-fold factor k: reshape (B, C, T) -> (B*C*k rows, T/k) so narrow
+    stages and small batches enter the banded-FIR kernel's winning regime.
+
+    Round-4 probe F showed the kernel's per-element cost roughly halves
+    going from 384 to 768+ rows (res4 43.0 vs res3 27.5 ms at identical
+    element counts); fold until rows >= target_rows while keeping the time
+    axis long enough to fill 4096-wide tiles. k must divide T.
+    MAA3_AA_FOLD overrides (0/1 disables)."""
+    import os
+    env = os.environ.get("MAA3_AA_FOLD")
+    if env is not None:
+        k = max(1, int(env))
+    else:
+        k = 1
+        while (B * C * k < target_rows and T % (2 * k) == 0
+               and T // (2 * k) >= min_t and k < 32):
+            k *= 2
+    while T % k:
+        k //= 2
+    return max(k, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("logscale", "has_beta", "tile",
                                              "n_rows", "interpret",
-                                             "fast_sin2", "mxu_fir"))
+                                             "fast_sin2", "mxu_fir", "fold"))
 def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                     logscale: bool = True, has_beta: bool = True,
                     tile: int = 8192, n_rows: Optional[int] = None,
                     interpret: Optional[bool] = None,
-                    fast_sin2: bool = False, mxu_fir: bool = False) -> Array:
+                    fast_sin2: bool = False, mxu_fir: bool = False,
+                    fold: int = 1) -> Array:
     """Fused Activation1d(snake[_beta]) over (B, C, T); returns (B, C, T).
 
     Drop-in fast path for FusedActivation1d(snake_beta/snake) with the 2x /
     12-tap configuration BigVGAN uses (vocoder/bigvgan/models.py:60-71).
+    fold > 1 runs the time-folded layout (see auto_fold): numerically
+    identical, rows become B*C*fold time chunks of length T/fold with true
+    cross-chunk halos.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, C, T = x.shape
     af, inv_b = snake_coeffs(alpha, beta, logscale, has_beta)
+    if T % fold:
+        raise ValueError(f"fold {fold} must divide T {T}")
+    T_full, T = T, T // fold
 
     if n_rows is None:
         if mxu_fir:
@@ -322,10 +429,26 @@ def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
         return FusedActivation1d(_snake_fp32)(x)
 
     n_tiles = -(-T // tile)
-    rows = B * C
+    rows = B * C * fold
 
-    a_rows = jnp.tile(af, B)[:, None]
-    ib_rows = jnp.tile(inv_b, B)[:, None]
+    if fold > 1:
+        a_rows = jnp.tile(jnp.repeat(af, fold), B)[:, None]
+        ib_rows = jnp.tile(jnp.repeat(inv_b, fold), B)[:, None]
+        xf = x.reshape(B, C, fold, T)
+        # true cross-chunk halos; outermost chunks get the reference's
+        # replicate pad (same values _xleft/_xright would have written)
+        rep_l = jnp.broadcast_to(xf[:, :, :1, 0:1], (B, C, 1, 5))
+        lh5 = jnp.concatenate([rep_l, xf[:, :, :-1, T - 5:]],
+                              axis=2).reshape(rows, 5)
+        rep_r = jnp.broadcast_to(xf[:, :, -1:, T - 1:T], (B, C, 1, 5))
+        rh5 = jnp.concatenate([xf[:, :, 1:, 0:5], rep_r],
+                              axis=2).reshape(rows, 5)
+        jpos = jnp.arange(fold, dtype=jnp.float32)
+        mf = jnp.tile((jpos == 0).astype(jnp.float32), B * C)[:, None]
+        ml = jnp.tile((jpos == fold - 1).astype(jnp.float32), B * C)[:, None]
+    else:
+        a_rows = jnp.tile(af, B)[:, None]
+        ib_rows = jnp.tile(inv_b, B)[:, None]
 
     x2 = x.reshape(rows, T)
     hblk = tile // _HB
@@ -351,6 +474,18 @@ def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
                      memory_space=pltpu.VMEM),
     ]
     operands = [a_rows, ib_rows, x2, x2, x2]
+    if fold > 1:
+        in_specs += [
+            pl.BlockSpec((n_rows, 5), lambda r, i: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, 5), lambda r, i: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, 1), lambda r, i: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, 1), lambda r, i: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [lh5, rh5, mf, ml]
     scratch_fp = jnp.float32
     if mxu_fir:
         # banded FIR matrices as VMEM-resident operands; bf16 mode stores
@@ -366,10 +501,12 @@ def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
         operands[2:2] = [jnp.asarray(bu_np, x.dtype),
                          jnp.asarray(bd_np, scratch_fp)]
         kern = functools.partial(_kernel_mxu, tile=tile, n_rows=n_rows,
-                                 t_total=T, fast_sin2=fast_sin2)
+                                 t_total=T, fast_sin2=fast_sin2,
+                                 folded=fold > 1)
     else:
         kern = functools.partial(_kernel, tile=tile, n_rows=n_rows,
-                                 t_total=T, fast_sin2=fast_sin2)
+                                 t_total=T, fast_sin2=fast_sin2,
+                                 folded=fold > 1)
     out = pl.pallas_call(
         kern,
         grid=(-(-rows // n_rows), n_tiles),
@@ -386,4 +523,4 @@ def _aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
         ],
         interpret=interpret,
     )(*operands)
-    return out.reshape(B, C, T)
+    return out.reshape(B, C, T_full)

@@ -87,3 +87,46 @@ def test_aa_snake_mxu_fir_matches_shift_add():
                               mxu_fir=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=3e-5, atol=3e-6)
+
+
+def test_time_folded_matches_unfolded():
+    """fold>1 reshapes (B, C, T) -> (B*C*fold rows, T/fold) with true
+    cross-chunk halos and row-masked s-domain clamps (round 5): outputs
+    must be BIT-EXACT vs fold=1 for both kernel variants, including ragged
+    time tails and single-tile folds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from maa3_tpu.ops.pallas_aa_snake import _aa_snake_fused
+
+    for (b, c, t), folds in [((2, 6, 1024), (2, 4)), ((1, 4, 1560), (2,)),
+                             ((2, 3, 4096), (8,))]:
+        x = jax.random.normal(jax.random.PRNGKey(t), (b, c, t), jnp.float32)
+        al = jax.random.normal(jax.random.PRNGKey(1), (c,)) * 0.3
+        be = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.3
+        for mxu in (False, True):
+            ref = _aa_snake_fused(x, al, be, tile=512, interpret=True,
+                                  mxu_fir=mxu, fold=1)
+            for k in folds:
+                got = _aa_snake_fused(x, al, be, tile=512, interpret=True,
+                                      mxu_fir=mxu, fold=k)
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(ref))
+
+
+def test_auto_fold_policy():
+    """auto_fold targets >=768 rows while keeping T/k >= 4096 and k | T
+    (the banded kernel's measured winning regime, PROBE_VOC_DECOMP_R04)."""
+    from maa3_tpu.ops.pallas_aa_snake import auto_fold
+
+    assert auto_fold(8, 768, 2496) == 1       # wide b8: already in regime
+    assert auto_fold(8, 96, 39936) == 1       # res3 b8: 768 rows already
+    assert auto_fold(8, 48, 79872) == 2       # res4 b8 -> res3 shape
+    assert auto_fold(8, 24, 159744) == 4      # res5 b8 -> res3 shape
+    assert auto_fold(1, 24, 159744) == 32     # res5 b1: deep fold
+    assert auto_fold(1, 768, 2496) == 1
+    # k must divide T; never fold below the 4096-col tile fill
+    assert auto_fold(1, 1, 4096) == 1
+    for (b, c, t) in [(8, 48, 79872), (1, 24, 159744), (3, 5, 7000)]:
+        k = auto_fold(b, c, t)
+        assert t % k == 0
