@@ -273,12 +273,25 @@ def dit_apply(params: dict, cfg: DiTConfig, x: Array, t: Array,
             body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.save_only_these_names(
                     "attn_q", "attn_k", "attn_v", "attn_out", "ffn_out"))
+        elif cfg.remat_policy == "save_gemms_h1":
+            # midpoint of lite and full (round 5): keep the gate hidden x1
+            # (silu input — both dx1 and dx3 read silu(x1)) and recompute
+            # only the w3 GEMM — half of lite's extra recompute for half of
+            # save_gemms' extra bytes. All saveables are compute_dtype
+            # (bf16 in production): dense() casts before the matmul, so
+            # there is no separate fp32-vs-bf16 saved-bytes lever beyond
+            # choosing WHICH tensors to save (TRAIN_r07 dtype audit).
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_q", "attn_k", "attn_v", "attn_out",
+                    "ffn_h1", "ffn_out"))
         elif cfg.remat_policy == "nothing":
             body = jax.checkpoint(body)
         else:
             raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r} "
                              "(expected 'nothing', 'dots_no_batch', "
-                             "'save_gemms' or 'save_gemms_lite')")
+                             "'save_gemms', 'save_gemms_lite' or "
+                             "'save_gemms_h1')")
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = final_layer_apply(params["final_layer"], x, adaln_input)

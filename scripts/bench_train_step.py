@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--remat_policy", type=str, default="nothing",
                     choices=["nothing", "dots_no_batch", "save_gemms",
-                             "save_gemms_lite"])
+                             "save_gemms_lite", "save_gemms_h1"])
     ap.add_argument("--mu_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="AdamW first-moment storage dtype (bfloat16 frees "
