@@ -204,9 +204,10 @@ class MAA3System:
     @classmethod
     def _from_orbax(cls, spec, ckpt_dir: str, seed: int,
                     compute_dtype, clap_cfg=None) -> "MAA3System":
-        """Restore {params: {dit, cond?}, scale_factor, ...} saved by
-        Trainer.save_checkpoint; VAE/vocoder come from random init or
-        separate loads (they are frozen during CFM training)."""
+        """Restore {params: {dit, cond?}, frozen: {vae}?, scale_factor, ...}
+        saved by Trainer.save_checkpoint. Round-5 checkpoints carry the
+        frozen VAE (restored here); older ones fall back to random init.
+        The vocoder comes from random init or a separate load."""
         import orbax.checkpoint as ocp
         key = jax.random.PRNGKey(seed)
         _, k2, k3, k4 = jax.random.split(key, 4)
@@ -214,8 +215,11 @@ class MAA3System:
             restored = ckptr.restore(os.path.abspath(ckpt_dir))
         # prefer EMA weights when present (inference convention)
         trained = restored.get("ema_params") or restored["params"]
+        frozen = restored.get("frozen") or {}
+        vae_params = (jax.tree.map(jnp.asarray, frozen["vae"])
+                      if "vae" in frozen else vae_init(k2, spec.vae))
         params = {"dit": jax.tree.map(jnp.asarray, trained["dit"]),
-                  "vae": vae_init(k2, spec.vae),
+                  "vae": vae_params,
                   "vocoder": bigvgan_init(k4, BigVGANConfig())}
         if "cond" in trained:
             params["cond"] = jax.tree.map(jnp.asarray, trained["cond"])

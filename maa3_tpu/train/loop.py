@@ -417,7 +417,12 @@ class Trainer:
         payload = {"params": self.state.params,
                    "opt_state": self.state.opt_state,
                    "step": self.state.step,
-                   "scale_factor": self.state.scale_factor}
+                   "scale_factor": self.state.scale_factor,
+                   # frozen first stage travels with the checkpoint: a
+                   # restored DiT decoded through a DIFFERENT (re-seeded)
+                   # VAE produces garbage — self-contained ckpts make
+                   # train -> txt2audio -> eval reproducible (round 5)
+                   "frozen": self.state.frozen}
         if self.state.ema_params is not None:
             payload["ema_params"] = self.state.ema_params
         ckptr.save(path, payload, force=True)
@@ -485,12 +490,19 @@ class Trainer:
         payload = {"params": self.state.params,
                    "opt_state": self.state.opt_state,
                    "step": self.state.step,
-                   "scale_factor": self.state.scale_factor}
+                   "scale_factor": self.state.scale_factor,
+                   "frozen": self.state.frozen}
         if self.state.ema_params is not None:
             payload["ema_params"] = self.state.ema_params
-        restored = ckptr.restore(path, target=payload)
+        try:
+            restored = ckptr.restore(path, target=payload)
+        except Exception:
+            # pre-round-5 checkpoints have no "frozen" section
+            payload.pop("frozen")
+            restored = ckptr.restore(path, target=payload)
         self.state = self.state._replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"], scale_factor=restored["scale_factor"],
+            frozen=restored.get("frozen", self.state.frozen),
             ema_params=restored.get("ema_params", self.state.ema_params))
         self._scale_by_std_done = True

@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("-b", "--base", nargs="*", default=[])
     p.add_argument("-t", "--train", action="store_true")
     p.add_argument("-r", "--resume", type=str, default="")
+    p.add_argument("--vae_ckpt", type=str, default="",
+                   help="Orbax dir saved by scripts/train_vae.py; replaces "
+                        "the frozen first-stage VAE before training (the "
+                        "checkpoint then carries it, so txt2audio -r "
+                        "decodes through the SAME VAE)")
     p.add_argument("--torch_ckpt", type=str, default="",
                    help="warm-start from a reference .ckpt")
     p.add_argument("--max_steps", type=int, default=100000)
@@ -149,6 +154,12 @@ def main():
     system = MAA3System.from_config(opt.base, opt.overrides,
                                     ckpt_path=opt.torch_ckpt or None,
                                     seed=opt.seed)
+    if opt.vae_ckpt:
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(opt.vae_ckpt))
+        system.params["vae"] = jax.tree.map(jnp.asarray, restored["vae"])
+        print(f"frozen VAE <- {opt.vae_ckpt}")
     if opt.remat:
         import dataclasses
         system.spec = dataclasses.replace(

@@ -73,6 +73,10 @@ def parse_args():
                         "(devices reshape to (n_dev/n_model, n_model); "
                         "weights shard Megatron-style, XLA adds the "
                         "all-reduces)")
+    p.add_argument("--save_mel", action="store_true",
+                   help="also write <name>_mel.npy (decoded mels) next to "
+                        "each wav — feeds scripts/cal_fd_score.py's "
+                        "mel-space FD/KL without a vocoder round-trip")
     p.add_argument("--interactive", action="store_true",
                    help="REPL: read prompts from stdin and generate with "
                         "warm jits (first prompt compiles; later ones run "
@@ -188,6 +192,9 @@ def main():
             path = os.path.join(opt.outdir, fname)
             wavfile.write(path, opt.sample_rate,
                           (np.clip(wav[n], -1, 1) * 32767).astype(np.int16))
+            if opt.save_mel:
+                np.save(path[:-4] + "_mel.npy",
+                        np.asarray(mel[n], np.float32))
             results.append({"caption": pr["ori_caption"], "file": fname})
         done = min((i + 1) * max(bs, 1), len(prompts)) if bs > 1 else i + 1
         total = len(prompts) if bs > 1 else len(chunks)

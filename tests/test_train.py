@@ -199,3 +199,27 @@ def test_grad_accumulation_mechanics(tmp_path):
     mu = trainer.state.opt_state.inner_opt_state[1][0].mu
     leaf = jax.tree.leaves(mu)[0]
     assert leaf.dtype == jnp.bfloat16
+
+
+def test_checkpoint_carries_frozen_vae(tmp_path):
+    """Round-5: checkpoints are self-contained — the frozen first-stage VAE
+    travels with the save, and a Trainer built around a DIFFERENT random
+    VAE restores the original one (a restored DiT decoded through a
+    re-seeded VAE is garbage; loop.py save_checkpoint / system._from_orbax)."""
+    system = _tiny_system(tmp_path)
+    trainer = Trainer(system, batch_size=8, ckpt_dir=str(tmp_path / "ckptf"),
+                      log_every=10, ckpt_every=0)
+    trainer.fit(_batches(2), max_steps=2)
+    path = trainer.save_checkpoint()
+    vae_before = np.asarray(jax.tree.leaves(trainer.state.frozen["vae"])[0])
+
+    sys2 = _tiny_system(tmp_path)
+    # perturb the second system's VAE so restore must really overwrite it
+    leaves, treedef = jax.tree.flatten(sys2.params["vae"])
+    sys2.params["vae"] = jax.tree.unflatten(
+        treedef, [l + 1.0 for l in leaves])
+    trainer2 = Trainer(sys2, batch_size=8,
+                       ckpt_dir=str(tmp_path / "ckptf2"), ckpt_every=0)
+    trainer2.restore_checkpoint(path)
+    vae_after = np.asarray(jax.tree.leaves(trainer2.state.frozen["vae"])[0])
+    np.testing.assert_allclose(vae_before, vae_after)
