@@ -245,7 +245,9 @@ def smooth_migrate_dit(dit_params: dict, stats: dict,
 
 
 def quantize_dit_serving(dit_params: dict, group_size: int = 0,
-                         skip_w2: bool = False) -> dict:
+                         skip_w2: bool = False,
+                         classes: "Optional[Sequence[str]]" = None,
+                         group_for: "Optional[dict]" = None) -> dict:
     """Quantize the per-ODE-step fat GEMMs of a DiT param tree to int8:
     the qkv and SwiGLU projections plus w2 — in either layout (fused wqkv/
     w13 from utils.nprand.fuse_dit_gemms, or the canonical unfused names —
@@ -261,19 +263,32 @@ def quantize_dit_serving(dit_params: dict, group_size: int = 0,
     axis is not covered by the TP shard specs). skip_w2 leaves the FFN
     down-projection in bf16: w2's input is the SwiGLU product, the widest-
     dynamic-range activation in the block, so it dominates the a8 error while
-    carrying only ~1/5 of the per-step GEMM FLOPs."""
+    carrying only ~1/5 of the per-step GEMM FLOPs.
+
+    classes restricts quantization to a subset of {"wqkv", "w13", "w2"}
+    (per-GEMM-class error decomposition, DRIFT_R05); group_for maps a class
+    to its own group size (hybrid modes: e.g. {"w2": 128} runs g128 only on
+    the widest-dynamic-range GEMM and per-channel elsewhere)."""
+    active = (set(classes) if classes is not None
+              else {"wqkv", "w13"} | (set() if skip_w2 else {"w2"}))
+    gf = group_for or {}
     p = dict(dit_params)
     blocks = dict(p["blocks"])
     att = dict(blocks["attention"])
-    for k in ("wqkv",) if "wqkv" in att else ("wq", "wk", "wv"):
-        att[k] = quantize_weight_int8(att[k]["w"], group_size)
+    if "wqkv" in active:
+        for k in ("wqkv",) if "wqkv" in att else ("wq", "wk", "wv"):
+            att[k] = quantize_weight_int8(att[k]["w"],
+                                          gf.get("wqkv", group_size))
     blocks["attention"] = att
     ffn = dict(blocks["feed_forward"])
     if "w13" in ffn or "w1" in ffn:  # dense SwiGLU; MoE experts stay float
-        for k in ("w13",) if "w13" in ffn else ("w1", "w3"):
-            ffn[k] = quantize_weight_int8(ffn[k]["w"], group_size)
-        if not skip_w2:
-            ffn["w2"] = quantize_weight_int8(ffn["w2"]["w"], group_size)
+        if "w13" in active:
+            for k in ("w13",) if "w13" in ffn else ("w1", "w3"):
+                ffn[k] = quantize_weight_int8(ffn[k]["w"],
+                                              gf.get("w13", group_size))
+        if "w2" in active:
+            ffn["w2"] = quantize_weight_int8(ffn["w2"]["w"],
+                                             gf.get("w2", group_size))
         blocks["feed_forward"] = ffn
     p["blocks"] = blocks
     return p

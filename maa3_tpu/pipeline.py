@@ -30,6 +30,18 @@ from maa3_tpu.models.bigvgan import BigVGANConfig, bigvgan_apply, bigvgan_init
 Array = jax.Array
 
 
+def _ode_chunk() -> int:
+    """ODE sub-batch size for large launches (0 disables). Default 8 on
+    accelerators: the b8-shaped program is the measured per-clip optimum
+    (PROBE_B32_TRACE_r05 / PROBE_B32_FIX_r05 — XLA materializes attention
+    and RoPE intermediates to HBM past it). MAA3_ODE_CHUNK overrides."""
+    import os
+    env = os.environ.get("MAA3_ODE_CHUNK")
+    if env is not None:
+        return int(env)
+    return 0 if jax.default_backend() == "cpu" else 8
+
+
 def _dual_mask(context_mask, uncond_mask, uncond):
     """CFG dual-batch key mask [uncond_mask; context_mask] (or None when no
     mask is given). A missing uncond_mask means the unconditional (empty-
@@ -128,6 +140,45 @@ class T2APipeline:
     def _sample_latent_impl(self, params, x0: Array, context: Array,
                             uncond: Array, guidance_scale: Array, steps: int,
                             context_mask=None, uncond_mask=None) -> Array:
+        # Large-batch ODE launches run as SEQUENTIAL chunk-sized sub-batches
+        # (lax.map): the round-5 device trace (PROBE_B32_TRACE_r05) showed
+        # XLA's fusion decisions degrade with batch — at b32 the attention
+        # scores/probs, RoPE stacks and residual converts spill to HBM at
+        # ~1/3 effective bandwidth, costing +58 ms/clip vs b8. Chunking
+        # re-enters the b8-shaped program, whose per-clip cost is the
+        # measured optimum; outputs are identical (rows are independent).
+        chunk = _ode_chunk()
+        B = x0.shape[0]
+        if chunk and B > chunk and B % chunk == 0:
+            nc = B // chunk
+
+            def re(a):
+                return a.reshape((nc, chunk) + a.shape[1:])
+
+            ops = [re(x0), re(context), re(uncond)]
+            has_cm, has_um = context_mask is not None, uncond_mask is not None
+            if has_cm:
+                ops.append(re(context_mask))
+            if has_um:
+                ops.append(re(uncond_mask))
+
+            def body(args):
+                it = iter(args)
+                x0c, cc, ucc = next(it), next(it), next(it)
+                cm = next(it) if has_cm else None
+                um = next(it) if has_um else None
+                return self._sample_latent_one(params, x0c, cc, ucc,
+                                               guidance_scale, steps, cm, um)
+
+            z = jax.lax.map(body, tuple(ops))
+            return z.reshape((B,) + z.shape[2:])
+        return self._sample_latent_one(params, x0, context, uncond,
+                                       guidance_scale, steps,
+                                       context_mask, uncond_mask)
+
+    def _sample_latent_one(self, params, x0: Array, context: Array,
+                           uncond: Array, guidance_scale: Array, steps: int,
+                           context_mask=None, uncond_mask=None) -> Array:
         if self.planned:
             return self._sample_planned(params["dit"], x0, context, uncond,
                                         guidance_scale, steps,

@@ -457,7 +457,7 @@ class MAA3System:
 
         serving_cfg = self._serving_dit_cfg()
 
-        def run(dit_params, x0, c, uc, s, c_mask, uc_mask):
+        def run_one(dit_params, x0, c, uc, s, c_mask, uc_mask):
             # planned path: per-step adaLN modulations + static context K/V
             # (and for the MoE: freq-expert slices + shared-t expert select)
             # hoisted out of the Euler scan; numerics identical to
@@ -504,6 +504,38 @@ class MAA3System:
             return cfm.sample_cfg_planned(
                 step_vel, x0, (plan["mods"], plan["final"]), s,
                 steps=timesteps)
+
+        def run(dit_params, x0, c, uc, s, c_mask, uc_mask):
+            # sequential chunk-sized sub-batches for big launches — past
+            # chunk=8 XLA materializes attention/RoPE intermediates to HBM
+            # and per-clip ODE cost rises 1.5x (PROBE_B32_TRACE_r05);
+            # identical outputs, batch rows are independent
+            from maa3_tpu.pipeline import _ode_chunk
+            chunk = _ode_chunk()
+            B = x0.shape[0]
+            if not (chunk and B > chunk and B % chunk == 0):
+                return run_one(dit_params, x0, c, uc, s, c_mask, uc_mask)
+            nc = B // chunk
+
+            def re(a):
+                return a.reshape((nc, chunk) + a.shape[1:])
+
+            ops = [re(x0), re(c), re(uc)]
+            has_cm, has_um = c_mask is not None, uc_mask is not None
+            if has_cm:
+                ops.append(re(c_mask))
+            if has_um:
+                ops.append(re(uc_mask))
+
+            def body(args):
+                it = iter(args)
+                x0c, cc, ucc = next(it), next(it), next(it)
+                cm = next(it) if has_cm else None
+                um = next(it) if has_um else None
+                return run_one(dit_params, x0c, cc, ucc, s, cm, um)
+
+            z = jax.lax.map(body, tuple(ops))
+            return z.reshape((B,) + z.shape[2:])
 
         return self._jit(("sample_cfg", timesteps), run)(
             self.serving_dit(), x0, cond, uncond, jnp.float32(scale),

@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--scale", type=float, default=5.0)
     p.add_argument("--clients", type=int, default=16)
     p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--reps", type=int, default=1,
+                   help="repeat the request storm N times (one warmup); "
+                        "each rep reports separately plus a spread summary "
+                        "— makes run-to-run variance visible INSIDE one "
+                        "artifact (round-5 serve-bench hardening)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--window_ms", type=float, default=30.0)
     p.add_argument("--fp32", action="store_true",
@@ -102,59 +107,75 @@ def main():
           f"firing {opt.requests} requests from {opt.clients} clients",
           file=sys.stderr, flush=True)
 
-    warm_served = server.batcher.stats()["served"]
-    lock = threading.Lock()
-    latencies = []
-    audio_s = [0.0]
-    next_id = [0]
+    def storm():
+        lock = threading.Lock()
+        latencies = []
+        audio_s = [0.0]
+        next_id = [0]
+        served_before = server.batcher.stats()["served"]
 
-    def client():
-        while True:
-            with lock:
-                if next_id[0] >= opt.requests:
-                    return
-                i = next_id[0]
-                next_id[0] += 1
-            body = json.dumps({"prompt": f"load test prompt {i}",
-                               "steps": opt.steps,
-                               "scale": opt.scale}).encode()
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{server.port}/generate", data=body,
-                headers={"Content-Type": "application/json"})
-            t = time.perf_counter()
-            with urllib.request.urlopen(req, timeout=600) as r:
-                data = r.read()
-            dt = time.perf_counter() - t
-            with lock:
-                latencies.append(dt)
-                audio_s[0] += (len(data) - 44) / 2 / 16000.0
+        def client():
+            while True:
+                with lock:
+                    if next_id[0] >= opt.requests:
+                        return
+                    i = next_id[0]
+                    next_id[0] += 1
+                body = json.dumps({"prompt": f"load test prompt {i}",
+                                   "steps": opt.steps,
+                                   "scale": opt.scale}).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{server.port}/generate", data=body,
+                    headers={"Content-Type": "application/json"})
+                t = time.perf_counter()
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    data = r.read()
+                dt = time.perf_counter() - t
+                with lock:
+                    latencies.append(dt)
+                    audio_s[0] += (len(data) - 44) / 2 / 16000.0
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client) for _ in range(opt.clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client)
+                   for _ in range(opt.clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        latencies.sort()
+        return {
+            "value": round(audio_s[0] / wall, 2),
+            "wall_s": round(wall, 2),
+            "request_p50_s": round(latencies[len(latencies) // 2], 4),
+            "request_p95_s": round(latencies[int(len(latencies) * 0.95)], 4),
+            "served": server.batcher.stats()["served"] - served_before,
+        }
 
-    latencies.sort()
+    reps = [storm() for _ in range(opt.reps)]
     stats = server.batcher.stats()
     hist = {k: v for k, v in stats["batch_histogram"].items()}
+    vals = [r["value"] for r in reps]
     out = {
         "metric": "serve_sustained_secs_audio_per_sec",
-        "value": round(audio_s[0] / wall, 2),
+        "value": round(sum(vals) / len(vals), 2),
         "unit": "s-audio/s",
         "requests": opt.requests,
         "clients": opt.clients,
         "steps": opt.steps,
-        "wall_s": round(wall, 2),
-        "request_p50_s": round(latencies[len(latencies) // 2], 4),
-        "request_p95_s": round(latencies[int(len(latencies) * 0.95)], 4),
-        "served_total": stats["served"] - warm_served,
+        "wall_s": round(sum(r["wall_s"] for r in reps), 2),
+        "request_p50_s": reps[-1]["request_p50_s"],
+        "request_p95_s": max(r["request_p95_s"] for r in reps),
+        "served_total": sum(r["served"] for r in reps),
         "batch_histogram": hist,
         "mode": opt.quant or precision,
         "config": os.path.basename(cfg_paths[0]),
     }
+    if opt.reps > 1:
+        out["reps"] = reps
+        out["rep_spread_pct"] = round(
+            100.0 * (max(vals) - min(vals)) / max(sum(vals) / len(vals),
+                                                  1e-9), 1)
     print(json.dumps(out), flush=True)
     if opt.out:
         with open(opt.out, "a") as f:

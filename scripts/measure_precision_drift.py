@@ -142,6 +142,19 @@ def main():
         modes[f"int8{tag}+fp32_residual"] = (
             lambda kw=kw: _int8_pipe(kw))
 
+    # per-GEMM-class error decomposition (DRIFT_R05): quantize ONE class at
+    # a time to rank mel-MAE contributions, then the hybrid candidates —
+    # g128 only on the worst class(es), per-channel elsewhere (most of
+    # g128's accuracy at a fraction of its 60% latency cost if the error
+    # profile is peaked)
+    for cls in ("wqkv", "w13", "w2"):
+        modes[f"int8@{cls}+fp32_residual"] = (
+            lambda cls=cls: _int8_pipe({"classes": (cls,)}))
+    modes["int8:hyb_w2g+fp32_residual"] = (
+        lambda: _int8_pipe({"group_for": {"w2": gs}}))
+    modes["int8:hyb_w13w2g+fp32_residual"] = (
+        lambda: _int8_pipe({"group_for": {"w2": gs, "w13": gs}}))
+
     # SmoothQuant scale migration (round 4, VERDICT #3): calibrate one ODE
     # on this context, fold the equalization into the weights (zero runtime
     # cost), then per-channel-quantize as usual. alpha sweep 0.5 / 0.75.

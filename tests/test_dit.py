@@ -259,3 +259,47 @@ def test_fused_gemms_match_unfused():
     out1 = dit_apply(fused, cfg, x, t, ctx, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_ode_chunking_matches_full_batch(monkeypatch):
+    """MAA3_ODE_CHUNK: a b>chunk ODE launch runs as sequential chunk-sized
+    sub-batches via lax.map (PROBE_B32_TRACE_r05 fix) — latents must match
+    the unchunked launch (batch rows are independent), in both the plain
+    and the planned serving path."""
+    import dataclasses as _dc
+    import os
+    from maa3_tpu.pipeline import T2APipeline
+    from maa3_tpu.models.vae1d import VAEConfig
+    from maa3_tpu.models.bigvgan import BigVGANConfig
+
+    cfg = DiTConfig(in_channels=8, context_dim=16, hidden_size=64, depth=2,
+                    num_heads=4, max_len=64)
+    vae_cfg = VAEConfig(in_channels=16, out_ch=16, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, down_layers=(0,), kernel_size=3,
+                        z_channels=8, embed_dim=8)
+    voc = BigVGANConfig(num_mels=16, upsample_rates=(2, 2),
+                        upsample_kernel_sizes=(4, 4),
+                        upsample_initial_channel=8,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 2),))
+    pipe = T2APipeline.random_init(jax.random.PRNGKey(0), cfg, vae_cfg, voc,
+                                   compute_dtype=jnp.float32)
+    pipe.params["dit"]["final_layer"]["linear"]["w"] = (
+        0.02 * jax.random.normal(
+            jax.random.PRNGKey(3),
+            pipe.params["dit"]["final_layer"]["linear"]["w"].shape))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (4, 5, 16))
+    uc = jnp.zeros_like(ctx)
+    for planned in (False, True):
+        p = _dc.replace(pipe, planned=planned)
+        monkeypatch.setenv("MAA3_ODE_CHUNK", "0")
+        z_full, _, _ = p.generate(ctx, uc, jax.random.PRNGKey(5),
+                                  latent_len=16, steps=4)
+        monkeypatch.setenv("MAA3_ODE_CHUNK", "2")
+        # new env -> new jit cache entry? _ode_chunk is read at TRACE time;
+        # force a fresh trace by replacing self (dataclass) identity
+        p2 = _dc.replace(p)
+        z_chunk, _, _ = p2.generate(ctx, uc, jax.random.PRNGKey(5),
+                                    latent_len=16, steps=4)
+        np.testing.assert_allclose(np.asarray(z_chunk), np.asarray(z_full),
+                                   rtol=2e-5, atol=2e-5)
