@@ -348,23 +348,28 @@ def aa_snake_fused(x: Array, alpha: Array, beta: Optional[Array] = None, *,
 
 def auto_fold(B: int, C: int, T: int, target_rows: int = 768,
               min_t: int = 4096) -> int:
-    """Time-fold factor k: reshape (B, C, T) -> (B*C*k rows, T/k) so narrow
-    stages and small batches enter the banded-FIR kernel's winning regime.
+    """Time-fold factor k: reshape (B, C, T) -> (B*C*k rows, T/k) —
+    numerically exact (true cross-chunk halos, masked edge clamps).
 
-    Round-4 probe F showed the kernel's per-element cost roughly halves
-    going from 384 to 768+ rows (res4 43.0 vs res3 27.5 ms at identical
-    element counts); fold until rows >= target_rows while keeping the time
-    axis long enough to fill 4096-wide tiles. k must divide T.
-    MAA3_AA_FOLD overrides (0/1 disables)."""
+    MEASURED NEGATIVE (round 5, /tmp/fold_probe.log 2026-08-20): folding
+    res4 b8 to the exact res3-winning kernel shape (768 rows x 39936) ran
+    48.5 ms vs 43.0 unfolded and 41.2 conv_snake; res5 80.4 vs 74.7/39.5.
+    The banded-FIR kernel's narrow-stage deficit is therefore NOT
+    row-underfill — identical grid/shape via folding does not reproduce
+    res3's 27.5 ms. Default OFF; MAA3_AA_FOLD=<k> opts in (the exactness
+    machinery and tests stay — the lever is cheap to re-probe on future
+    kernel revisions). When enabled, k is clamped to divide T."""
     import os
     env = os.environ.get("MAA3_AA_FOLD")
-    if env is not None:
-        k = max(1, int(env))
-    else:
-        k = 1
-        while (B * C * k < target_rows and T % (2 * k) == 0
-               and T // (2 * k) >= min_t and k < 32):
-            k *= 2
+    if env is None:
+        return 1
+    k = max(1, int(env))
+    if k > 1:
+        cap = 1
+        while (B * C * cap < target_rows and T % (2 * cap) == 0
+               and T // (2 * cap) >= min_t and cap < k):
+            cap *= 2
+        k = cap
     while T % k:
         k //= 2
     return max(k, 1)

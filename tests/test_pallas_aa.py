@@ -114,11 +114,15 @@ def test_time_folded_matches_unfolded():
                                               np.asarray(ref))
 
 
-def test_auto_fold_policy():
-    """auto_fold targets >=768 rows while keeping T/k >= 4096 and k | T
-    (the banded kernel's measured winning regime, PROBE_VOC_DECOMP_R04)."""
+def test_auto_fold_policy(monkeypatch):
+    """auto_fold defaults OFF (round-5 probe: folding measured slower at
+    every narrow b8 stage); MAA3_AA_FOLD opts in, clamped to the >=768-row
+    / T/k >= 4096 regime and to divide T."""
     from maa3_tpu.ops.pallas_aa_snake import auto_fold
 
+    monkeypatch.delenv("MAA3_AA_FOLD", raising=False)
+    assert auto_fold(8, 48, 79872) == 1       # default: off
+    monkeypatch.setenv("MAA3_AA_FOLD", "32")
     assert auto_fold(8, 768, 2496) == 1       # wide b8: already in regime
     assert auto_fold(8, 96, 39936) == 1       # res3 b8: 768 rows already
     assert auto_fold(8, 48, 79872) == 2       # res4 b8 -> res3 shape
