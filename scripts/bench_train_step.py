@@ -64,6 +64,10 @@ def main():
                     default="auto",
                     help="attention route: auto = mode-aware threshold "
                          "(flash from seq 2048 in training), on/off = force")
+    ap.add_argument("--model", choices=["xl", "xxl"], default="xl",
+                    help="xxl = 1536x32Lx32H (1.47B, "
+                         "configs/txt2audio-cfm-cfg-XXL.yaml:38-41) — the "
+                         "round-5 real-chip XXL train-step measurement")
     ap.add_argument("--small", action="store_true")  # CPU smoke
     ap.add_argument("--profile", type=str, default="",
                     help="capture a jax.profiler trace of 3 steps to DIR")
@@ -80,8 +84,10 @@ def main():
         ctx_len, ctx_dim = 10, 64
         opt.latent = min(opt.latent, 64)
     else:
+        h, d, nh = ((1536, 32, 32) if opt.model == "xxl"
+                    else (1152, 28, 16))
         dit_cfg = DiTConfig(in_channels=20, context_dim=1024,
-                            hidden_size=1152, depth=28, num_heads=16,
+                            hidden_size=h, depth=d, num_heads=nh,
                             max_len=1000, remat=not opt.no_remat,
                             remat_policy=opt.remat_policy,
                             use_flash=use_flash)
