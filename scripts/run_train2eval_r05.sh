@@ -31,7 +31,8 @@ echo "VAE ckpt: $VAE_CKPT"
 echo "=== stage B: DiT M ($(date +%T)) ==="
 python scripts/train.py -t -b configs/txt2audio-cfm-cfg.yaml \
     --vae_ckpt "$VAE_CKPT" --max_steps 6000 --batch_size 16 \
-    --ckpt_dir logs/m_synth --fuse_gemms \
+    --ckpt_dir logs/m_synth \
+    model.params.cond_stage_trainable=false \
     data.params.train.params.dataset_cfg.dataset_name=$TSV \
     data.params.validation.params.dataset_cfg.dataset_name=$VTSV \
     > /tmp/t2e_dit.log 2>&1
@@ -41,6 +42,7 @@ echo "=== stage B0: control ckpt ($(date +%T)) ==="
 python scripts/train.py -t -b configs/txt2audio-cfm-cfg.yaml \
     --vae_ckpt "$VAE_CKPT" --max_steps 1 --batch_size 16 \
     --ckpt_dir logs/m_synth_ctrl \
+    model.params.cond_stage_trainable=false \
     data.params.train.params.dataset_cfg.dataset_name=$TSV \
     > /tmp/t2e_ctrl.log 2>&1
 tail -3 /tmp/t2e_ctrl.log
