@@ -53,9 +53,8 @@ def predict_acc(tsv, clf, stats):
         cmd += ["--norm_stats", stats]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     txt = r.stdout + r.stderr
-    m = re.findall(r'"accuracy@1": ([0-9.]+)|accuracy.?1.?: ([0-9.]+)', txt)
-    accs = [a or b for a, b in m]
-    return (float(accs[-1]) if accs else None), txt[-800:]
+    m = re.findall(r'"accuracy_1": ([0-9.]+)', txt)
+    return (float(m[-1]) if m else None), txt[-800:]
 
 
 def main():
@@ -78,17 +77,14 @@ def main():
             "last": {"step": int(vae_rows[-1][0]),
                      "rec_loss": float(vae_rows[-1][2])},
         }
-    dit_rows = grep_log("/tmp/t2e_dit.log",
-                        r"step (\d+).*?loss[\"']?[:=] ?([0-9.]+)")
-    losses = grep_log("/tmp/t2e_dit.log", r"'loss': ([0-9.]+)")
+    losses = grep_log("/tmp/t2e_dit.log", r"loss=([0-9.]+)")
     if losses:
         out["dit_train"] = {"first_loss": float(losses[0]),
                             "last_loss": float(losses[-1]),
                             "n_logged": len(losses)}
-    _ = dit_rows
 
     # melclf validation metrics
-    clf_val = grep_log("/tmp/t2e_main.log", r'"accuracy@1": ([0-9.]+)')
+    clf_val = grep_log("/tmp/t2e_main.log", r'"accuracy_1": ([0-9.]+)')
     if clf_val:
         out["melclf_val_acc1"] = float(clf_val[-1])
 
@@ -102,7 +98,7 @@ def main():
         if kl:
             out[f"kl_{who}"] = float(kl[-1])
         clap = grep_log(f"/tmp/t2e_clap_{who}.log",
-                        r"clap_score[\"']?: ([0-9.eE+-]+)")
+                        r"CLAP score over \d+ pairs: ([0-9.eE+-]+)")
         if clap:
             out[f"clap_{who}_random_towers"] = float(clap[-1])
 
