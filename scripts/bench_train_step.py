@@ -64,6 +64,13 @@ def main():
                     default="auto",
                     help="attention route: auto = mode-aware threshold "
                          "(flash from seq 2048 in training), on/off = force")
+    ap.add_argument("--param_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 casts the DiT params (and hence grads/"
+                         "mu) — NOT the production recipe; the single-chip "
+                         "XXL proxy when fp32 params+grads+mu (~14.8 GB) "
+                         "OOM a 16 GB chip, matching XXL_MEM_r04's 22.7 GB "
+                         "replicated estimate")
     ap.add_argument("--model", choices=["xl", "xxl"], default="xl",
                     help="xxl = 1536x32Lx32H (1.47B, "
                          "configs/txt2audio-cfm-cfg-XXL.yaml:38-41) — the "
@@ -96,6 +103,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     dit_params = dit_init(key, dit_cfg)
+    if opt.param_dtype == "bfloat16":
+        dit_params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, dit_params)
     if opt.fuse:
         from maa3_tpu.utils.nprand import fuse_dit_gemms
         dit_params = fuse_dit_gemms(dit_params)
@@ -156,6 +167,7 @@ def main():
         "cached_latents": opt.cached_latents,
         "factored": opt.factored,
         "mu_dtype": opt.mu_dtype,
+        "param_dtype": opt.param_dtype,
         "use_flash": opt.use_flash,
         "step_ms": round(step_t * 1e3, 1),
         "steps_per_sec": round(1.0 / step_t, 2),
