@@ -96,9 +96,20 @@ def main():
 
     # TRUE-fp32 oracle: TPU's DEFAULT matmul precision computes fp32 dots
     # via bf16 MXU passes; 'highest' (6-pass emulation) makes the reference
-    # leg actually fp32 (see scripts/xl_consistency.py)
-    with jax.default_matmul_precision("highest"):
-        z32, mel32, wav32 = gen(pipe32)
+    # leg actually fp32 (see scripts/xl_consistency.py). The oracle is
+    # skippable (MAA3_DRIFT_NO_ORACLE=1, or automatically on OOM): the
+    # decomposition's ranking metric is mel_mae_vs_bf16, which only needs
+    # the bf16 leg.
+    have_oracle = os.environ.get("MAA3_DRIFT_NO_ORACLE", "") == ""
+    if have_oracle:
+        try:
+            with jax.default_matmul_precision("highest"):
+                z32, mel32, wav32 = gen(pipe32)
+        except Exception as e:
+            print(json.dumps({"oracle_skipped": repr(e)[:200]}), flush=True)
+            have_oracle = False
+    if not have_oracle:
+        z32 = mel32 = wav32 = None
     base16 = dataclasses.replace(pipe32, compute_dtype=jnp.bfloat16,
                                  params=params16)  # fp32 decode (default)
     # Mode pipes are built LAZILY, one at a time, and dropped after
@@ -181,17 +192,19 @@ def main():
                 kw, migrate=lambda f: smooth_migrate_dit(
                     f, _smooth_stats(), alpha=alpha)))
 
-    out = {"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
-           "latent_rms": float(np.sqrt((z32 ** 2).mean()))}
+    out = ({"mel_rms": float(np.sqrt((mel32 ** 2).mean())),
+            "latent_rms": float(np.sqrt((z32 ** 2).mean()))}
+           if have_oracle else {"oracle": "skipped"})
     # how far DEFAULT-precision fp32 sits from true fp32 (the quiet
     # bf16-passes effect measured on its own)
-    z32d, mel32d, _ = gen(pipe32)
-    out["fp32_default_vs_highest"] = {
-        "latent_mae": float(np.abs(z32 - z32d).mean()),
-        "mel_mae": float(np.abs(mel32 - mel32d).mean()),
-    }
-    print(json.dumps({"fp32_default_vs_highest":
-                      out["fp32_default_vs_highest"]}), flush=True)
+    if have_oracle:
+        z32d, mel32d, _ = gen(pipe32)
+        out["fp32_default_vs_highest"] = {
+            "latent_mae": float(np.abs(z32 - z32d).mean()),
+            "mel_mae": float(np.abs(mel32 - mel32d).mean()),
+        }
+        print(json.dumps({"fp32_default_vs_highest":
+                          out["fp32_default_vs_highest"]}), flush=True)
     mel_bf16 = None
     # --modes a,b,c filters to a comma-separated subset (substring match);
     # 'bf16' is always kept (the int8 rows' vs-bf16 metric needs it)
@@ -203,12 +216,13 @@ def main():
     for name, build in modes.items():
         pipe = build()   # device params live only for this iteration
         z16, mel16, wav16 = gen(pipe)
-        row = {
-            "latent_mae": float(np.abs(z32 - z16).mean()),
-            "mel_mae": float(np.abs(mel32 - mel16).mean()),
-            "wav_mae": float(np.abs(wav32 - wav16).mean()),
-            "p50_s": round(p50(pipe), 4),
-        }
+        row = {"p50_s": round(p50(pipe), 4)}
+        if have_oracle:
+            row.update({
+                "latent_mae": float(np.abs(z32 - z16).mean()),
+                "mel_mae": float(np.abs(mel32 - mel16).mean()),
+                "wav_mae": float(np.abs(wav32 - wav16).mean()),
+            })
         if name == "bf16":
             mel_bf16 = mel16
         if name.startswith("int8") and mel_bf16 is not None:
@@ -218,7 +232,8 @@ def main():
         out[name] = row
         del pipe
         print(json.dumps({name: row}), flush=True)
-    out["fp32_p50_s"] = round(p50(pipe32), 4)
+    if have_oracle:
+        out["fp32_p50_s"] = round(p50(pipe32), 4)
     print(json.dumps(out), flush=True)
 
 
